@@ -1,0 +1,36 @@
+"""Test bootstrap: force an 8-device virtual CPU platform BEFORE jax imports.
+
+This makes DP/mesh logic testable without TPUs (SURVEY §4 implication), per the
+standard ``xla_force_host_platform_device_count`` trick.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the env presets JAX_PLATFORMS=axon (TPU)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Keep artifact writes inside the workspace during tests.
+os.environ.setdefault("SCRATCH", "/tmp/vitgan_tpu_test_scratch")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    from vitgan_tpu.parallel import make_mesh
+    from vitgan_tpu.config import MeshConfig
+
+    return make_mesh(MeshConfig())
+
+
+@pytest.fixture
+def rng():
+    return jax.random.PRNGKey(0)

@@ -1,0 +1,312 @@
+"""Configuration tree for vitgan_tpu.
+
+Frozen dataclasses mirroring the reference's pydantic config surface:
+
+- v1 hyperparameters: ref:src/v1/config.py:20-73 (ViTGANParameters and children)
+- v2 hyperparameters: ref:src/v2/utils.py:25-43 (Config)
+- run-dir layout + SCRATCH/DEV env contract: ref:src/v1/config.py:7-17,
+  ref:src/v2/utils.py:13-22
+
+plus TPU-native knobs the reference has no equivalent for (mesh shape, dtypes,
+Pallas kernel toggles).  Everything is hashable so configs can be closed over by
+``jax.jit`` as static state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+
+def scratch_root() -> str:
+    """Artifact root. Honors the reference's SCRATCH env contract (ref:src/v1/config.py:9)."""
+    return os.environ.get("SCRATCH", os.path.join(os.path.expanduser("~"), ".vitgan_tpu"))
+
+
+def dev_mode() -> bool:
+    """DEV env flag (ref:src/v2/utils.py:22): shrink everything for smoke runs."""
+    return os.environ.get("DEV", "").lower() in ("1", "true", "yes")
+
+
+def timestamp() -> str:
+    return datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+
+
+# ---------------------------------------------------------------------------
+# Shared building blocks
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TransformerConfig:
+    """Transformer block hyperparameters (ref:src/v1/config.py:34-43)."""
+
+    num_heads: int = 4
+    attn_dropout: float = 0.2
+    mlp_dropout: float = 0.2
+    mlp_activation: str = "relu"  # relu | gelu | tanh | sigmoid
+    mlp_hidden: Tuple[int, ...] = ()  # empty => single linear, matching reference default
+
+
+@dataclass(frozen=True)
+class SirenConfig:
+    """SIREN head hyperparameters (ref:src/v1/siren.py:29-45)."""
+
+    omega_0: float = 30.0
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Per-network optimizer settings (ref:src/v1/config.py:60-70, src/v2/training.py:150-157)."""
+
+    name: str = "adam"  # adam | adamw | sgd
+    learning_rate: float = 2e-4
+    beta1: float = 0.5
+    beta2: float = 0.999
+    weight_decay: float = 0.0
+    grad_clip: Optional[float] = None  # global-norm clip; v2 dead path used 0.5 (G) / 5.0 (D)
+
+
+# ---------------------------------------------------------------------------
+# v1 — paper-style ViTGAN (ref:src/v1/*)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GeneratorV1Config:
+    """SLN generator (ref:src/v1/generator.py:13-69, config.py:45-49)."""
+
+    hidden_size: int = 384
+    depth: int = 4
+    siren_hidden: int = 768
+    transformer: TransformerConfig = field(default_factory=TransformerConfig)
+    siren: SirenConfig = field(default_factory=SirenConfig)
+    optim: OptimConfig = field(default_factory=lambda: OptimConfig(learning_rate=2e-4))
+
+
+@dataclass(frozen=True)
+class DiscriminatorV1Config:
+    """ISR L2-attention discriminator (ref:src/v1/discriminatorViT.py, config.py:52-57).
+
+    ``token_size`` is the width patches are projected to.  The reference intended a
+    projection but never assigned it (ref:src/v1/patch_encoder.py:30 — the §2.4.1
+    defect); we implement the intent: flattened overlapping patches -> Linear(token_size).
+    """
+
+    depth: int = 4
+    patch_size: int = 8
+    overlap: int = 2
+    token_size: int = 384
+    embed_dropout: float = 0.1
+    transformer: TransformerConfig = field(default_factory=TransformerConfig)
+    spectral_rescale: bool = True  # ISR (ref:src/v1/attention.py:37-64)
+    optim: OptimConfig = field(default_factory=lambda: OptimConfig(learning_rate=2e-4))
+
+
+@dataclass(frozen=True)
+class V1Config:
+    """Top-level v1 ViTGAN config (ref:src/v1/config.py:60-70)."""
+
+    image_size: int = 32
+    channels: int = 3
+    batch_size: int = 128
+    latent_dim: int = 1024
+    seed: int = 0
+    generator: GeneratorV1Config = field(default_factory=GeneratorV1Config)
+    discriminator: DiscriminatorV1Config = field(default_factory=DiscriminatorV1Config)
+    loss: str = "bce"  # bce | mse (criterion picker, ref:src/v1/gan.py:16-20)
+
+
+# ---------------------------------------------------------------------------
+# v2 — simplified ViT-GAN (ref:src/v2/*)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class V2Config:
+    """v2 Config parity (ref:src/v2/utils.py:25-41) with the intended (non-broken) loss.
+
+    The reference's live loss was shape-invalid (§2.4.9); the coherent spec is plain
+    BCE real/fake (as in v1 and the DCGAN notebook) with an optional WGAN-GP path
+    (the reference's dead-code trainer, ref:src/v2/training.py:67-125).
+    """
+
+    image_size: int = 32
+    channels: int = 3
+    batch_size: int = 64
+    embed_dim: int = 128
+    depth: int = 6
+    num_heads: int = 4
+    mlp_ratio: int = 2
+    patch_size: int = 4
+    dropout: float = 0.1
+    latent_dim: int = 128
+    epochs: int = 500
+    seed: int = 0
+    loss: str = "bce"  # bce | wgan-gp
+    gp_lambda: float = 10.0
+    diversity_weight: float = 0.1  # ref:src/v2/training.py:88
+    instance_noise: float = 0.1  # ref:src/v2/training.py:99
+    gen_optim: OptimConfig = field(
+        default_factory=lambda: OptimConfig(
+            name="adamw", learning_rate=5e-4, beta1=0.9, weight_decay=1e-3, grad_clip=0.5
+        )
+    )
+    disc_optim: OptimConfig = field(
+        default_factory=lambda: OptimConfig(
+            name="adamw", learning_rate=5e-4, beta1=0.9, weight_decay=1e-3, grad_clip=5.0
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DCGAN baseline (ref:cnn/cnn-gan.ipynb cell 10) and toy MLP GAN (ref:idc.py:52-90)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DCGANConfig:
+    image_size: int = 32
+    channels: int = 3
+    batch_size: int = 128
+    latent_dim: int = 100
+    base_width: int = 64
+    seed: int = 999  # notebook seed (cnn-gan.ipynb cell 3)
+    gen_optim: OptimConfig = field(default_factory=lambda: OptimConfig(learning_rate=2e-4))
+    disc_optim: OptimConfig = field(default_factory=lambda: OptimConfig(learning_rate=2e-4))
+
+
+@dataclass(frozen=True)
+class MLPGANConfig:
+    image_size: int = 32
+    channels: int = 3
+    batch_size: int = 128
+    latent_dim: int = 128
+    hidden: Tuple[int, ...] = (256, 512, 1024)
+    seed: int = 0
+    gen_optim: OptimConfig = field(default_factory=lambda: OptimConfig(learning_rate=2e-4))
+    disc_optim: OptimConfig = field(default_factory=lambda: OptimConfig(learning_rate=2e-4))
+
+
+# ---------------------------------------------------------------------------
+# TPU-native knobs (no reference equivalent)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout.  ``data`` is the DP axis; ``model`` is reserved for TP."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallel: int = 1  # number of devices on the model axis
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """Compute-path knobs."""
+
+    compute_dtype: str = "bfloat16"  # activations/matmul inputs
+    param_dtype: str = "float32"
+    use_pallas: str = "auto"  # auto | always | never — auto => pallas on TPU only
+    remat: bool = False  # jax.checkpoint transformer blocks
+    donate_state: bool = True
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Data pipeline (ref:src/v1/utils.py:107-132, src/v2/utils.py:99-121)."""
+
+    dataset: str = "cifar10"  # cifar10 | mnist | synthetic
+    data_dir: Optional[str] = None  # default: $SCRATCH/data/<dataset>
+    shuffle: bool = True
+    drop_last: bool = True
+    prefetch: int = 2
+    augment_flip: bool = False
+    num_workers: int = 0  # >0 enables the native C++ decode path when built
+
+
+@dataclass(frozen=True)
+class TrainRunConfig:
+    """Trainer-level settings (ref:src/v1/gan.py:71-177, src/v2/training.py:34-268)."""
+
+    epochs: int = 500
+    steps_per_epoch: Optional[int] = None  # None => full dataset pass
+    checkpoint_every_epochs: int = 50  # ref:src/v1/gan.py:165-173
+    sample_grid_every_epochs: int = 1
+    fid_every_epochs: int = 1
+    fid_num_samples: int = 2560  # ~20 batches of 128 (ref:src/v1/gan.py:207-208)
+    best_metric: str = "fid"  # best-model tracking criterion (ref:src/v1/gan.py:77,136-138)
+    log_every_steps: int = 50
+    keep_checkpoints: int = 3
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    """One full experiment: model family + data + runtime + trainer."""
+
+    family: str = "v2"  # v1 | v2 | dcgan | mlp
+    v1: V1Config = field(default_factory=V1Config)
+    v2: V2Config = field(default_factory=V2Config)
+    dcgan: DCGANConfig = field(default_factory=DCGANConfig)
+    mlp: MLPGANConfig = field(default_factory=MLPGANConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    run: TrainRunConfig = field(default_factory=TrainRunConfig)
+    run_name: Optional[str] = None  # default: timestamp
+
+    @property
+    def model(self):
+        return getattr(self, self.family)
+
+    def image_shape(self) -> Tuple[int, int, int]:
+        m = self.model
+        return (m.image_size, m.image_size, m.channels)
+
+
+def replace(cfg: Any, **kwargs: Any) -> Any:
+    """``dataclasses.replace`` that also accepts dotted paths: replace(c, **{'v2.depth': 2})."""
+    direct = {k: v for k, v in kwargs.items() if "." not in k}
+    nested: dict = {}
+    for k, v in kwargs.items():
+        if "." in k:
+            head, rest = k.split(".", 1)
+            nested.setdefault(head, {})[rest] = v
+    for head, sub in nested.items():
+        direct[head] = replace(getattr(cfg, head), **sub)
+    return dataclasses.replace(cfg, **direct)
+
+
+def smoke_config(family: str = "v2") -> ExperimentConfig:
+    """Tiny CPU-runnable config (BASELINE config #1; DEV flag parity ref:src/v2/utils.py:22)."""
+    cfg = ExperimentConfig(family=family, data=DataConfig(dataset="synthetic"))
+    cfg = replace(
+        cfg,
+        **{
+            "v2.batch_size": 8,
+            "v2.embed_dim": 32,
+            "v2.depth": 2,
+            "v2.num_heads": 2,
+            "v2.latent_dim": 16,
+            "v1.batch_size": 8,
+            "v1.latent_dim": 64,
+            "v1.generator.hidden_size": 64,
+            "v1.generator.depth": 2,
+            "v1.generator.siren_hidden": 64,
+            "v1.discriminator.depth": 2,
+            "v1.discriminator.token_size": 64,
+            "dcgan.batch_size": 8,
+            "dcgan.base_width": 16,
+            "mlp.batch_size": 8,
+            "mlp.hidden": (32, 64),
+            "run.epochs": 1,
+            "run.steps_per_epoch": 2,
+            "run.fid_num_samples": 16,
+            "runtime.use_pallas": "never",
+        },
+    )
+    return cfg

@@ -1,0 +1,84 @@
+"""Device mesh construction and sharding rules.
+
+The reference is single-device (SURVEY §2.5): device selection only
+(ref:src/v2/training.py:143, ref:main-v1.py:13-17).  Here parallelism is
+first-class: a ``jax.sharding.Mesh`` with a ``data`` axis (DP) and a reserved
+``model`` axis (TP), gradient all-reduce emitted by XLA from sharding
+constraints — collectives ride ICI, no hand-written comm code.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vitgan_tpu.config import MeshConfig
+
+
+def initialize_distributed() -> None:
+    """Multi-host bootstrap.  No-op on a single process.
+
+    The reference has no distributed backend at all (SURVEY §2.5); this is the
+    TPU-native equivalent of what NCCL/MPI init would be elsewhere.
+    """
+    try:
+        if jax.process_count() > 1:
+            return  # already initialized by the launcher
+        import os
+
+        if "COORDINATOR_ADDRESS" in os.environ:
+            jax.distributed.initialize()
+    except Exception:
+        pass
+
+
+def make_mesh(
+    cfg: MeshConfig = MeshConfig(),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, model) mesh over all devices.
+
+    ``model_parallel`` devices go on the model axis; the rest are data-parallel.
+    With one device this degenerates to a 1x1 mesh, so every code path is
+    mesh-aware without special-casing single-chip runs.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    mp = max(1, cfg.model_parallel)
+    if n % mp != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={mp}")
+    arr = np.array(devices).reshape(n // mp, mp)
+    return Mesh(arr, axis_names=(cfg.data_axis, cfg.model_axis))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis; replicate the rest."""
+    data_axis = mesh.axis_names[0]
+    return NamedSharding(mesh, P(data_axis, *([None] * (ndim - 1))))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host array onto the mesh with the batch axis sharded over data."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, ndim=x.ndim)), batch
+    )
+
+
+def shard_pytree_replicated(mesh: Mesh, tree):
+    sh = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    """Per-host slice of the global batch for multi-host data loading."""
+    n_data = mesh.shape[mesh.axis_names[0]]
+    if global_batch % n_data != 0:
+        raise ValueError(f"global batch {global_batch} not divisible by data axis {n_data}")
+    return global_batch // jax.process_count()
