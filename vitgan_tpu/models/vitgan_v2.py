@@ -1,0 +1,175 @@
+"""v2 — standard-ViT GAN family: VisionTransformer backbone + GAN wrappers.
+
+Rebuild of the reference's v2 modules (ref:src/v2/modules.py:67-426) with the
+dimensionally-broken generator replaced by its documented intent (SURVEY §2.4.8
+/ BASELINE north star): a real latent -> token-grid -> unpatchify generator.
+
+TPU-first choices:
+- conv patchify with kernel=stride=patch (ref:src/v2/modules.py:71-74) is
+  algebraically a reshape + one matmul; implemented exactly so — the MXU gets a
+  single large GEMM, no conv window machinery;
+- MHSA is the fused-projection form (ref:src/v2/modules.py:103-162) with
+  softmax scale 1/sqrt(head_dim) (ref:src/v2/modules.py:144);
+- pre-LN encoder blocks with GELU MLP of width embed*mlp_ratio
+  (ref:src/v2/modules.py:165-183);
+- trunc-normal(0.02) init for all projections, CLS and pos-embedding, LN at 1/0
+  (ref:src/v2/modules.py:241-253).
+
+The reference adds the positional embedding BEFORE concatenating CLS so the CLS
+token carries no positional term (ref:src/v2/modules.py:93-98); we keep that
+semantic (CLS gets no pos-embedding) since it is visible in trained weights.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vitgan_tpu.config import V2Config
+from vitgan_tpu.models import layers as L
+
+
+# ---------------------------------------------------------------------------
+# Patchify / unpatchify (kernel=stride conv == one matmul)
+# ---------------------------------------------------------------------------
+
+
+def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, N, patch*patch*C)."""
+    b, h, w, c = images.shape
+    x = images.reshape(b, h // patch, patch, w // patch, patch, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, (h // patch) * (w // patch), patch * patch * c)
+
+
+def unpatchify(tokens: jnp.ndarray, patch: int, image_size: int, channels: int) -> jnp.ndarray:
+    """(B, N, patch*patch*C) -> (B, H, W, C), inverse of patchify."""
+    b = tokens.shape[0]
+    side = image_size // patch
+    x = tokens.reshape(b, side, side, patch, patch, channels)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, image_size, image_size, channels)
+
+
+# ---------------------------------------------------------------------------
+# VisionTransformer backbone (ref:src/v2/modules.py:202-238)
+# ---------------------------------------------------------------------------
+
+
+def _encoder_init(key, cfg: V2Config, dtype=jnp.float32):
+    """Pre-LN encoder block (ref:src/v2/modules.py:165-176)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    msha_p, _ = L.mhsa_init(k1, cfg.embed_dim, cfg.num_heads, qkv_bias=True,
+                            init="trunc_normal", dtype=dtype)
+    hidden = cfg.embed_dim * cfg.mlp_ratio
+    return {
+        "ln1": L.layer_norm_init(cfg.embed_dim, dtype),
+        "ln2": L.layer_norm_init(cfg.embed_dim, dtype),
+        "msha": msha_p,
+        "fc1": L.trunc_normal_init(k2, cfg.embed_dim, hidden, dtype=dtype),
+        "fc2": L.trunc_normal_init(k3, hidden, cfg.embed_dim, dtype=dtype),
+    }
+
+
+def _encoder_apply(p, x, cfg: V2Config, rng, train):
+    """x + drop(MHSA(LN1 x)); x + drop(FC2(GELU(FC1(LN2 x)))) (ref:src/v2/modules.py:178-183)."""
+    r1, r2 = jax.random.split(rng) if rng is not None else (None, None)
+    head_dim = cfg.embed_dim // cfg.num_heads
+    a, _ = L.mhsa(p["msha"], {}, L.layer_norm(p["ln1"], x), score_mode="dot", scale=head_dim)
+    x = x + L.dropout(r1, a, cfg.dropout, train)
+    h = jax.nn.gelu(L.dense(p["fc1"], L.layer_norm(p["ln2"], x)))
+    x = x + L.dropout(r2, L.dense(p["fc2"], h), cfg.dropout, train)
+    return x
+
+
+def vit_init(key, cfg: V2Config, n_classes: int, dtype=jnp.float32) -> Dict[str, Any]:
+    """VisionTransformer params (ref:src/v2/modules.py:202-231)."""
+    n_patches = (cfg.image_size // cfg.patch_size) ** 2
+    patch_dim = cfg.patch_size ** 2 * cfg.channels
+    keys = jax.random.split(key, cfg.depth + 5)
+    return {
+        "embed": L.trunc_normal_init(keys[0], patch_dim, cfg.embed_dim, dtype=dtype),
+        "pos": 0.02 * jax.random.truncated_normal(keys[1], -2.0, 2.0,
+                                                  (n_patches, cfg.embed_dim), dtype),
+        "cls": 0.02 * jax.random.truncated_normal(keys[2], -2.0, 2.0,
+                                                  (1, 1, cfg.embed_dim), dtype),
+        "blocks": [_encoder_init(keys[3 + i], cfg, dtype) for i in range(cfg.depth)],
+        "ln": L.layer_norm_init(cfg.embed_dim, dtype),
+        "head_fc1": L.trunc_normal_init(keys[-2], cfg.embed_dim, cfg.embed_dim, dtype=dtype),
+        "head_fc2": L.trunc_normal_init(keys[-1], cfg.embed_dim, n_classes, dtype=dtype),
+    }
+
+
+def vit_encode(params, images, cfg: V2Config, *, rng=None, train=False) -> jnp.ndarray:
+    """images -> (B, N+1, E) encoded tokens after the final LN."""
+    x = L.dense(params["embed"], patchify(images, cfg.patch_size))
+    x = x + params["pos"].astype(x.dtype)  # CLS excluded, ref:src/v2/modules.py:93-98
+    b = x.shape[0]
+    cls = jnp.broadcast_to(params["cls"].astype(x.dtype), (b, 1, cfg.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    n = cfg.depth + 1
+    rngs = jax.random.split(rng, n) if rng is not None else [None] * n
+    x = L.dropout(rngs[0], x, cfg.dropout, train)
+    for p, r in zip(params["blocks"], rngs[1:]):
+        x = _encoder_apply(p, x, cfg, r, train)
+    return L.layer_norm(params["ln"], x)
+
+
+def vit_apply(params, images, cfg: V2Config, *, rng=None, train=False) -> jnp.ndarray:
+    """Full ViT: encode then CLS -> Linear -> Tanh -> Linear (ref:src/v2/modules.py:186-199)."""
+    x = vit_encode(params, images, cfg, rng=rng, train=train)
+    h = jnp.tanh(L.dense(params["head_fc1"], x[:, 0, :]))
+    return L.dense(params["head_fc2"], h)
+
+
+# ---------------------------------------------------------------------------
+# GAN wrappers
+# ---------------------------------------------------------------------------
+
+
+def generator_init(key, cfg: V2Config, dtype=jnp.float32) -> Dict[str, Any]:
+    """Latent -> token grid -> encoder stack -> per-token pixels -> unpatchify.
+
+    Replaces the reference's broken classes->batch_size reshape generator
+    (ref:src/v2/modules.py:344-372, SURVEY §2.4.8) with the intended design.
+    """
+    n_patches = (cfg.image_size // cfg.patch_size) ** 2
+    patch_dim = cfg.patch_size ** 2 * cfg.channels
+    keys = jax.random.split(key, cfg.depth + 4)
+    params = {
+        "mapping": L.trunc_normal_init(keys[0], cfg.latent_dim,
+                                       n_patches * cfg.embed_dim, dtype=dtype),
+        "pos": 0.02 * jax.random.truncated_normal(keys[1], -2.0, 2.0,
+                                                  (n_patches, cfg.embed_dim), dtype),
+        "blocks": [_encoder_init(keys[2 + i], cfg, dtype) for i in range(cfg.depth)],
+        "ln": L.layer_norm_init(cfg.embed_dim, dtype),
+        "to_pixels": L.trunc_normal_init(keys[-1], cfg.embed_dim, patch_dim, dtype=dtype),
+    }
+    return {"params": params, "state": {}}
+
+
+def generator_apply(variables, z, cfg: V2Config, *, rng=None, train=False):
+    params = variables["params"]
+    n_patches = (cfg.image_size // cfg.patch_size) ** 2
+    x = L.dense(params["mapping"], z).reshape(-1, n_patches, cfg.embed_dim)
+    x = x + params["pos"].astype(x.dtype)
+    rngs = jax.random.split(rng, cfg.depth) if rng is not None else [None] * cfg.depth
+    for p, r in zip(params["blocks"], rngs):
+        x = _encoder_apply(p, x, cfg, r, train)
+    x = L.layer_norm(params["ln"], x)
+    pix = jnp.tanh(L.dense(params["to_pixels"], x))
+    return unpatchify(pix, cfg.patch_size, cfg.image_size, cfg.channels), {}
+
+
+def discriminator_init(key, cfg: V2Config, dtype=jnp.float32) -> Dict[str, Any]:
+    """Plain ViT scoring real/fake with one logit (ref:src/v2/modules.py:375-395,
+    with the 10-class head narrowed to the GAN-coherent single logit)."""
+    return {"params": vit_init(key, cfg, n_classes=1, dtype=dtype), "state": {}}
+
+
+def discriminator_apply(variables, images, cfg: V2Config, *, rng=None, train=False,
+                        update_state: bool = False):
+    logits = vit_apply(variables["params"], images, cfg, rng=rng, train=train)
+    return logits[:, 0], {}
