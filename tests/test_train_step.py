@@ -1,0 +1,166 @@
+"""Train-step tests: losses' golden values, one jitted step per family, loss
+decreases over a few steps, WGAN-GP path, multi-device data parallelism."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vitgan_tpu import config as C
+from vitgan_tpu.models import build_gan
+from vitgan_tpu.parallel import shard_batch, shard_pytree_replicated
+from vitgan_tpu.train import create_train_state, make_train_step, make_sample_fn
+from vitgan_tpu.train import losses as LO
+
+
+# ---------------------------------------------------------------------------
+# Loss golden tests
+# ---------------------------------------------------------------------------
+
+
+def test_bce_with_logits_golden():
+    logits = jnp.array([0.0, 2.0, -2.0])
+    targets = jnp.array([1.0, 1.0, 0.0])
+    # manual: -log(sigmoid(0)), -log(sigmoid(2)), -log(1-sigmoid(-2))
+    expected = np.mean([np.log(2.0), np.log1p(np.exp(-2.0)), np.log1p(np.exp(-2.0))])
+    np.testing.assert_allclose(float(LO.bce_with_logits(logits, targets)), expected, rtol=1e-6)
+
+
+def test_bce_matches_torch_formulation():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(64,)).astype(np.float32)
+    targets = rng.integers(0, 2, size=(64,)).astype(np.float32)
+    ours = float(LO.bce_with_logits(jnp.array(logits), jnp.array(targets)))
+    theirs = float(
+        torch.nn.functional.binary_cross_entropy_with_logits(
+            torch.tensor(logits), torch.tensor(targets)
+        )
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_wasserstein_losses():
+    real = jnp.array([1.0, 3.0])
+    fake = jnp.array([0.0, 2.0])
+    assert float(LO.wasserstein_d_loss(real, fake)) == pytest.approx(-1.0)
+    assert float(LO.wasserstein_g_loss(fake)) == pytest.approx(-1.0)
+
+
+def test_gradient_penalty_unit_for_linear_disc(rng):
+    """For D(x) = sum(x), grad is all-ones => ||grad|| = sqrt(dim), GP=(sqrt(dim)-1)^2."""
+    real = jax.random.normal(rng, (4, 2, 2, 1))
+    fake = jax.random.normal(jax.random.PRNGKey(1), (4, 2, 2, 1))
+    gp = LO.gradient_penalty(lambda x: jnp.sum(x, axis=(1, 2, 3)), real, fake, rng)
+    np.testing.assert_allclose(float(gp), (np.sqrt(4.0) - 1) ** 2, rtol=1e-5)
+
+
+def test_diversity_loss_zero_for_identical():
+    x = jnp.ones((4, 8, 8, 3))
+    assert float(LO.diversity_loss(x)) == pytest.approx(0.0)
+    x2 = x.at[0].set(-1.0)
+    assert float(LO.diversity_loss(x2)) > 0
+
+
+def test_accuracy_from_logits():
+    logits = jnp.array([1.0, -1.0, 2.0, -2.0])
+    assert float(LO.accuracy_from_logits(logits, True)) == pytest.approx(0.5)
+    assert float(LO.accuracy_from_logits(logits, False)) == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------------------------
+# Train step
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("family", ["v1", "v2", "dcgan", "mlp"])
+def test_one_train_step(family, rng):
+    cfg = C.smoke_config(family)
+    gan = build_gan(cfg)
+    state = create_train_state(rng, gan, cfg)
+    step = make_train_step(gan, cfg, donate=False)
+    m = cfg.model
+    real = jax.random.uniform(jax.random.PRNGKey(1), (m.batch_size, m.image_size, m.image_size, m.channels)) * 2 - 1
+    new_state, metrics = step(state, real)
+    assert int(new_state.step) == 1
+    for k in ("d_loss", "g_loss", "d_real_acc", "d_grad_norm"):
+        assert np.isfinite(float(metrics[k])), k
+    # params actually moved
+    delta = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), state.g_params, new_state.g_params)
+    assert max(jax.tree.leaves(delta)) > 0
+
+
+def test_training_reduces_losses(rng):
+    """A few steps on a fixed batch should move D toward separating real/fake."""
+    cfg = C.smoke_config("mlp")
+    gan = build_gan(cfg)
+    state = create_train_state(rng, gan, cfg)
+    step = make_train_step(gan, cfg, donate=False)
+    real = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3)) * 2 - 1
+    first = None
+    for _ in range(30):
+        state, metrics = step(state, real)
+        if first is None:
+            first = float(metrics["d_loss"])
+    assert float(metrics["d_loss"]) < first
+
+
+def test_wgan_gp_step(rng):
+    cfg = C.smoke_config("v2")
+    cfg = C.replace(cfg, **{"v2.loss": "wgan-gp"})
+    gan = build_gan(cfg)
+    state = create_train_state(rng, gan, cfg)
+    step = make_train_step(gan, cfg, donate=False)
+    real = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3)) * 2 - 1
+    state, metrics = step(state, real)
+    assert np.isfinite(float(metrics["d_loss"])) and np.isfinite(float(metrics["g_loss"]))
+
+
+def test_step_data_parallel_matches_single_device(rng, mesh8):
+    """Same step, batch sharded over 8 devices vs unsharded: identical result."""
+    cfg = C.smoke_config("mlp")
+    gan = build_gan(cfg)
+    state = create_train_state(rng, gan, cfg)
+    step = make_train_step(gan, cfg, donate=False)
+    real = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(1), (16, 32, 32, 3)) * 2 - 1
+    )
+    _, m_single = step(state, jnp.array(real))
+    state_r = shard_pytree_replicated(mesh8, state)
+    real_sharded = shard_batch(mesh8, real)
+    _, m_sharded = step(state_r, real_sharded)
+    np.testing.assert_allclose(
+        float(m_single["d_loss"]), float(m_sharded["d_loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(m_single["g_loss"]), float(m_sharded["g_loss"]), rtol=1e-4
+    )
+
+
+def test_sample_fn(rng):
+    cfg = C.smoke_config("v2")
+    gan = build_gan(cfg)
+    state = create_train_state(rng, gan, cfg)
+    sample = make_sample_fn(gan, cfg)
+    z = gan.sample_latent(jax.random.PRNGKey(5), 4)
+    imgs = sample(state.g_vars, z)
+    assert imgs.shape == (4, 32, 32, 3) and imgs.dtype == jnp.float32
+    # deterministic (eval mode, no dropout)
+    np.testing.assert_array_equal(np.asarray(imgs), np.asarray(sample(state.g_vars, z)))
+
+
+def test_isr_state_advances_each_step(rng):
+    cfg = C.smoke_config("v1")
+    gan = build_gan(cfg)
+    state = create_train_state(rng, gan, cfg)
+    step = make_train_step(gan, cfg, donate=False)
+    real = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3)) * 2 - 1
+    new_state, _ = step(state, real)
+    u0 = np.asarray(state.d_state["blocks"][0]["msha"]["isr"]["u"])
+    u1 = np.asarray(new_state.d_state["blocks"][0]["msha"]["isr"]["u"])
+    assert not np.array_equal(u0, u1)
+    # sigma0 is frozen forever
+    np.testing.assert_array_equal(
+        np.asarray(state.d_state["blocks"][0]["msha"]["isr"]["sigma0"]),
+        np.asarray(new_state.d_state["blocks"][0]["msha"]["isr"]["sigma0"]),
+    )

@@ -3,5 +3,6 @@ from vitgan_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    shard_pytree_replicated,
     initialize_distributed,
 )

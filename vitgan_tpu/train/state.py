@@ -1,0 +1,83 @@
+"""Train state: both networks' params/state, both optimizer states, PRNG, step.
+
+The reference keeps G+D modules plus two torch optimizers inside a GAN object
+(ref:src/v1/gan.py:24-69,301-328) and never checkpoints optimizer moments
+(SURVEY §5.4).  Here the full train state is one pytree — params, model state
+(ISR power-iteration vectors, BatchNorm stats), both optax states, the PRNG
+key, and the step counter — so checkpoint/resume is exact.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from vitgan_tpu.config import ExperimentConfig, OptimConfig
+from vitgan_tpu.models import GANBundle
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    rng: jax.Array
+    g_params: Any
+    g_state: Any
+    d_params: Any
+    d_state: Any
+    g_opt: optax.OptState
+    d_opt: optax.OptState
+
+    @property
+    def g_vars(self) -> Dict[str, Any]:
+        return {"params": self.g_params, "state": self.g_state}
+
+    @property
+    def d_vars(self) -> Dict[str, Any]:
+        return {"params": self.d_params, "state": self.d_state}
+
+
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    """Optimizer factory (ref:src/v1/gan.py:301-328 _pick_optimizer +
+    ref:src/v2/training.py:150-157 AdamW, with the v2 dead-path grad clips)."""
+    if cfg.name == "adam":
+        tx = optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=cfg.beta2)
+    elif cfg.name == "adamw":
+        tx = optax.adamw(cfg.learning_rate, b1=cfg.beta1, b2=cfg.beta2,
+                         weight_decay=cfg.weight_decay)
+    elif cfg.name == "sgd":
+        tx = optax.sgd(cfg.learning_rate)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.name!r}")
+    if cfg.grad_clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return tx
+
+
+def _optim_cfg(cfg: ExperimentConfig, which: str) -> OptimConfig:
+    m = cfg.model
+    if hasattr(m, f"{which}_optim"):
+        return getattr(m, f"{which}_optim")
+    # v1 nests optim under generator/discriminator configs
+    return getattr(m, "generator" if which == "gen" else "discriminator").optim
+
+
+def create_train_state(rng: jax.Array, gan: GANBundle, cfg: ExperimentConfig) -> TrainState:
+    kg, kd, krest = jax.random.split(rng, 3)
+    g_vars = gan.generator_init(kg)
+    d_vars = gan.discriminator_init(kd)
+    g_tx = make_optimizer(_optim_cfg(cfg, "gen"))
+    d_tx = make_optimizer(_optim_cfg(cfg, "disc"))
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        rng=krest,
+        g_params=g_vars["params"],
+        g_state=g_vars["state"],
+        d_params=d_vars["params"],
+        d_state=d_vars["state"],
+        g_opt=g_tx.init(g_vars["params"]),
+        d_opt=d_tx.init(d_vars["params"]),
+    )

@@ -1,0 +1,161 @@
+"""The jitted alternating G/D train step — the framework's hot loop.
+
+Semantics follow the reference's per-batch update (ref:src/v1/gan.py:216-252,
+ref:cnn/cnn-gan.ipynb cell 12): D backward on real (labels 1) and detached fake
+(labels 0), D optimizer step, then G step against the *updated* D with labels
+flipped to 1.  The optional WGAN-GP path implements the reference's coherent
+dead-code trainer (ref:src/v2/training.py:67-125): Wasserstein losses, gradient
+penalty, instance noise on D inputs, diversity bonus for G, per-network grad
+clipping (0.5 G / 5.0 D via the optimizer chain).
+
+TPU-native structure: the whole alternating update — noise sampling, three D
+forwards, two G forwards, both backwards, both optax updates, ISR power
+-iteration refresh — is ONE ``jax.jit`` region with donated state.  With the
+batch sharded over the mesh's data axis and state replicated, XLA emits the
+gradient all-reduces over ICI; there is no hand-written collective code.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vitgan_tpu.config import ExperimentConfig
+from vitgan_tpu.models import GANBundle
+from vitgan_tpu.train import losses as LO
+from vitgan_tpu.train.state import TrainState, make_optimizer, _optim_cfg
+
+
+def _compute_dtype(cfg: ExperimentConfig):
+    return jnp.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jnp.float32
+
+
+def make_train_step(gan: GANBundle, cfg: ExperimentConfig, donate: bool = True):
+    """Build the jitted (state, real_images) -> (state, metrics) step."""
+    mcfg = cfg.model
+    loss_name = getattr(mcfg, "loss", "bce")
+    criterion = LO.pick_criterion(loss_name if loss_name in ("bce", "mse") else "bce")
+    use_wgan = loss_name == "wgan-gp"
+    g_tx = make_optimizer(_optim_cfg(cfg, "gen"))
+    d_tx = make_optimizer(_optim_cfg(cfg, "disc"))
+    dtype = _compute_dtype(cfg)
+
+    def step(state: TrainState, real: jnp.ndarray) -> Tuple[TrainState, Dict[str, Any]]:
+        rng, k_noise, k_gen, k_d_real, k_d_fake, k_d_fake2, k_gp, k_in = jax.random.split(
+            state.rng, 8
+        )
+        real = real.astype(dtype)
+        z = gan.sample_latent(k_noise, real.shape[0]).astype(dtype)
+
+        # One fake batch; reused detached for the D update (ref:src/v1/gan.py:231-239).
+        fake, _ = gan.generator_apply(state.g_vars, z, rng=k_gen, train=True)
+        fake_sg = jax.lax.stop_gradient(fake)
+
+        d_real_in, d_fake_in = real, fake_sg
+        if use_wgan and mcfg.instance_noise > 0:  # ref:src/v2/training.py:99
+            n1, n2 = jax.random.split(k_in)
+            d_real_in = real + mcfg.instance_noise * jax.random.normal(n1, real.shape, dtype)
+            d_fake_in = fake_sg + mcfg.instance_noise * jax.random.normal(n2, fake.shape, dtype)
+
+        # ---------------- D update ----------------
+        def d_loss_fn(d_params):
+            dv = {"params": d_params, "state": state.d_state}
+            real_logits, d_state1 = gan.discriminator_apply(
+                dv, d_real_in, rng=k_d_real, train=True, update_state=True
+            )
+            fake_logits, d_state2 = gan.discriminator_apply(
+                {"params": d_params, "state": d_state1}, d_fake_in, rng=k_d_fake, train=True
+            )
+            if use_wgan:
+                gp = LO.gradient_penalty(
+                    lambda x: gan.discriminator_apply(dv, x, rng=k_gp, train=True)[0],
+                    d_real_in, d_fake_in, k_gp,
+                )
+                loss = LO.wasserstein_d_loss(real_logits, fake_logits) + mcfg.gp_lambda * gp
+                loss_real = -jnp.mean(real_logits.astype(jnp.float32))
+                loss_fake = jnp.mean(fake_logits.astype(jnp.float32))
+            else:
+                ones = jnp.ones_like(real_logits, jnp.float32)
+                zeros = jnp.zeros_like(fake_logits, jnp.float32)
+                loss_real = criterion(real_logits, ones)
+                loss_fake = criterion(fake_logits, zeros)
+                loss = loss_real + loss_fake
+            aux = {
+                "d_state": d_state2,
+                "loss_real": loss_real,
+                "loss_fake": loss_fake,
+                "real_acc": LO.accuracy_from_logits(real_logits, True),
+                "fake_acc": LO.accuracy_from_logits(fake_logits, False),
+            }
+            return loss, aux
+
+        (d_loss, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
+        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+        d_state = d_aux["d_state"]
+
+        # ---------------- G update (against updated D, ref:src/v1/gan.py:242-252) ----
+        def g_loss_fn(g_params):
+            gv = {"params": g_params, "state": state.g_state}
+            fake2, g_state2 = gan.generator_apply(gv, z, rng=k_gen, train=True)
+            fake_logits, _ = gan.discriminator_apply(
+                {"params": d_params, "state": d_state}, fake2, rng=k_d_fake2, train=True
+            )
+            if use_wgan:
+                loss = LO.wasserstein_g_loss(fake_logits)
+                if mcfg.diversity_weight > 0:  # ref:src/v2/training.py:85-88
+                    loss = loss - mcfg.diversity_weight * LO.diversity_loss(fake2)
+            else:
+                loss = LO.g_adversarial_loss(criterion, fake_logits)
+            return loss, g_state2
+
+        (g_loss, g_state), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        metrics = {
+            "d_loss": d_loss,
+            "d_loss_real": d_aux["loss_real"],
+            "d_loss_fake": d_aux["loss_fake"],
+            "g_loss": g_loss,
+            "d_real_acc": d_aux["real_acc"],
+            "d_fake_acc": d_aux["fake_acc"],
+            "d_grad_norm": optax.global_norm(d_grads),
+            "g_grad_norm": optax.global_norm(g_grads),
+        }
+        new_state = state.replace(
+            step=state.step + 1, rng=rng,
+            g_params=g_params, g_state=g_state, g_opt=g_opt,
+            d_params=d_params, d_state=d_state, d_opt=d_opt,
+        )
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_sample_fn(gan: GANBundle, cfg: ExperimentConfig):
+    """Jitted eval-mode batched sampler (test-generation.py parity, SURVEY §3.3)."""
+    dtype = _compute_dtype(cfg)
+
+    @jax.jit
+    def sample(g_vars, z):
+        imgs, _ = gan.generator_apply(g_vars, z.astype(dtype))
+        return imgs.astype(jnp.float32)
+
+    return sample
+
+
+def make_discriminate_fn(gan: GANBundle, cfg: ExperimentConfig):
+    """Jitted eval-mode discriminator probabilities (ref:src/v1/vitgan.py:23 role)."""
+    dtype = _compute_dtype(cfg)
+
+    @jax.jit
+    def discriminate(d_vars, images):
+        logits, _ = gan.discriminator_apply(d_vars, images.astype(dtype))
+        return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    return discriminate
