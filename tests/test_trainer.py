@@ -1,0 +1,56 @@
+"""End-to-end trainer smoke tests: fit, artifacts, resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vitgan_tpu import config as C
+from vitgan_tpu.train.trainer import Trainer
+
+
+@pytest.fixture()
+def smoke_cfg():
+    return C.replace(
+        C.smoke_config("mlp"),
+        **{"run.checkpoint_every_epochs": 1, "run.log_every_steps": 1,
+           "run.fid_num_samples": 32, "run_name": None},
+    )
+
+
+def test_trainer_fit_and_artifacts(tmp_path, smoke_cfg):
+    cfg = C.replace(smoke_cfg, run_name="t1")
+    tr = Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
+    metrics = tr.fit(epochs=1)
+    assert np.isfinite(metrics["d_loss"]) and np.isfinite(metrics["g_loss"])
+    assert "fid" in metrics and np.isfinite(metrics["fid"])
+    root = os.path.join(str(tmp_path), "t1")
+    assert os.path.exists(os.path.join(root, "training.log"))
+    assert os.path.exists(os.path.join(root, "images", "epoch_0000.png"))
+    assert os.path.exists(os.path.join(root, "input", "real.png"))
+    assert os.path.exists(os.path.join(root, "logs", "scalars.jsonl"))
+    assert tr.ckpts.latest_step() is not None
+    # best-FID checkpoint written
+    assert os.path.exists(os.path.join(root, "checkpoints", "best.json"))
+
+
+def test_trainer_resume(tmp_path, smoke_cfg):
+    cfg = C.replace(smoke_cfg, run_name="t2")
+    tr = Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
+    tr.fit(epochs=1)
+    step_before = int(tr.state.step)
+
+    tr2 = Trainer(C.replace(cfg, run_name="t2"), run_base=str(tmp_path),
+                  fid_extractor="random_conv")
+    tr2.resume()
+    assert int(tr2.state.step) == step_before
+    # resumed state continues training
+    tr2.fit(epochs=tr2.epoch + 1)
+    assert int(tr2.state.step) > step_before
+
+
+def test_trainer_sample(tmp_path, smoke_cfg):
+    cfg = C.replace(smoke_cfg, run_name="t3")
+    tr = Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
+    imgs = tr.sample(4)
+    assert imgs.shape == (4, 32, 32, 3)

@@ -1,0 +1,204 @@
+"""Frechet Inception Distance on TPU.
+
+Parity target: torchmetrics FrechetInceptionDistance as used per-epoch by both
+reference trainers (ref:src/v1/gan.py:207-208,254-283; ref:src/v2/utils.py:155-175):
+images are converted to uint8, featurized, and the Frechet distance between
+Gaussian fits of real/fake features is reported.
+
+Zero-egress design: the Frechet math is exact and tested against analytic
+cases; the feature extractor is pluggable —
+
+- ``inception``: InceptionV3 pool3 features via torch (CPU) when a local
+  torchvision checkpoint exists (matches torchmetrics numerics);
+- ``random_conv`` (default): a fixed-seed, untrained conv feature extractor in
+  JAX (a Frechet Random-Feature Distance).  Untrained-network FID variants are
+  an established proxy; relative comparisons (is model A closer to the data
+  than model B) remain meaningful, absolute values are NOT comparable to
+  Inception-FID numbers.
+
+Feature accumulation is streaming (count, sum, sum of outer products) so FID
+over any sample budget needs O(D^2) memory, with the featurizer jitted on TPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Frechet distance math
+# ---------------------------------------------------------------------------
+
+
+class FeatureStats:
+    """Streaming Gaussian moment accumulator."""
+
+    def __init__(self, dim: int):
+        self.n = 0
+        self.sum = np.zeros((dim,), np.float64)
+        self.sum_outer = np.zeros((dim, dim), np.float64)
+
+    def update(self, feats: np.ndarray) -> None:
+        f = np.asarray(feats, np.float64)
+        self.n += f.shape[0]
+        self.sum += f.sum(0)
+        self.sum_outer += f.T @ f
+
+    def moments(self) -> Tuple[np.ndarray, np.ndarray]:
+        if self.n < 2:
+            raise ValueError("need >=2 samples for covariance")
+        mu = self.sum / self.n
+        cov = (self.sum_outer - self.n * np.outer(mu, mu)) / (self.n - 1)
+        return mu, cov
+
+
+def _sqrt_psd(mat: np.ndarray) -> np.ndarray:
+    vals, vecs = np.linalg.eigh(mat)
+    vals = np.clip(vals, 0.0, None)
+    return (vecs * np.sqrt(vals)) @ vecs.T
+
+
+def frechet_distance(mu1, cov1, mu2, cov2) -> float:
+    """||mu1-mu2||^2 + Tr(C1 + C2 - 2 sqrtm(C1 C2)), via the PSD-stable form."""
+    mu1, mu2 = np.asarray(mu1, np.float64), np.asarray(mu2, np.float64)
+    cov1, cov2 = np.asarray(cov1, np.float64), np.asarray(cov2, np.float64)
+    a = _sqrt_psd(cov1)
+    m = a @ cov2 @ a
+    eigs = np.clip(np.linalg.eigvalsh(m), 0.0, None)
+    tr_sqrt = float(np.sqrt(eigs).sum())
+    diff = mu1 - mu2
+    return float(diff @ diff + np.trace(cov1) + np.trace(cov2) - 2.0 * tr_sqrt)
+
+
+# ---------------------------------------------------------------------------
+# Feature extractors
+# ---------------------------------------------------------------------------
+
+
+def _random_conv_params(key, channels: int, widths=(64, 128, 256, 512)):
+    params = []
+    c_in = channels
+    for i, c_out in enumerate(widths):
+        key, k = jax.random.split(key)
+        w = jax.random.normal(k, (3, 3, c_in, c_out)) * np.sqrt(2.0 / (9 * c_in))
+        params.append(w)
+        c_in = c_out
+    return params
+
+
+def make_random_conv_extractor(channels: int = 3, seed: int = 42,
+                               feature_dim: int = 512) -> Callable[[np.ndarray], np.ndarray]:
+    """Fixed random conv net: u8 images (N,H,W,C) -> (N, feature_dim) float32."""
+    params = _random_conv_params(jax.random.PRNGKey(seed), channels)
+
+    @jax.jit
+    def features(x_u8):
+        x = x_u8.astype(jnp.float32) / 127.5 - 1.0
+        for w in params:
+            x = jax.lax.conv_general_dilated(
+                x, w, window_strides=(2, 2), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            x = jax.nn.gelu(x)
+        x = jnp.mean(x, axis=(1, 2))
+        return x[:, :feature_dim]
+
+    return lambda imgs: np.asarray(features(jnp.asarray(imgs)))
+
+
+def make_inception_extractor() -> Callable[[np.ndarray], np.ndarray]:
+    """torchvision InceptionV3 pool3 (2048-d), CPU.  Requires local weights."""
+    import torch
+    from torchvision.models import Inception_V3_Weights, inception_v3
+
+    net = inception_v3(weights=Inception_V3_Weights.DEFAULT)  # raises offline w/o cache
+    net.fc = torch.nn.Identity()
+    net.eval()
+
+    def features(imgs_u8: np.ndarray) -> np.ndarray:
+        x = torch.from_numpy(np.asarray(imgs_u8)).permute(0, 3, 1, 2).float() / 255.0
+        x = torch.nn.functional.interpolate(x, size=(299, 299), mode="bilinear",
+                                            align_corners=False)
+        x = (x - torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)) / torch.tensor(
+            [0.229, 0.224, 0.225]
+        ).view(1, 3, 1, 1)
+        with torch.no_grad():
+            return net(x).numpy()
+
+    return features
+
+
+def make_feature_extractor(name: str = "auto", channels: int = 3):
+    if name == "inception":
+        return make_inception_extractor()
+    if name == "random_conv":
+        return make_random_conv_extractor(channels)
+    if name == "auto":
+        try:
+            return make_inception_extractor()
+        except Exception:
+            return make_random_conv_extractor(channels)
+    raise ValueError(f"unknown extractor {name!r}")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end FID evaluation
+# ---------------------------------------------------------------------------
+
+
+def to_uint8(images) -> np.ndarray:
+    """[-1,1] floats -> uint8, matching the reference's pre-FID conversion
+    (ref:src/v2/utils.py:165-173 convert_to_uint8 role)."""
+    x = np.asarray(images, np.float32)
+    return np.clip(np.rint((x + 1.0) * 127.5), 0, 255).astype(np.uint8)
+
+
+def compute_fid(
+    sample_batch: Callable[[jax.Array, int], np.ndarray],
+    real_batches: Iterator[np.ndarray],
+    extractor: Callable[[np.ndarray], np.ndarray],
+    rng: jax.Array,
+    num_samples: int,
+    batch_size: int,
+) -> float:
+    """FID between generated samples and real batches.
+
+    ``sample_batch(rng, n)`` returns n generated images in [-1,1];
+    ``real_batches`` yields uint8 or [-1,1] real image batches.  Fresh noise per
+    generated batch (ref:src/v2/utils.py:160-164).
+    """
+    dim = None
+    real_stats = fake_stats = None
+    seen = 0
+    for rb in real_batches:
+        rb = np.asarray(rb)
+        if rb.dtype != np.uint8:
+            rb = to_uint8(rb)
+        take = min(len(rb), num_samples - seen)
+        if take <= 0:
+            break
+        feats = extractor(rb[:take])
+        if real_stats is None:
+            dim = feats.shape[-1]
+            real_stats, fake_stats = FeatureStats(dim), FeatureStats(dim)
+        real_stats.update(feats)
+        seen += take
+        if seen >= num_samples:
+            break
+    if real_stats is None:
+        raise ValueError("no real batches provided")
+    generated = 0
+    while generated < seen:
+        rng, k = jax.random.split(rng)
+        n = min(batch_size, seen - generated)
+        fakes = sample_batch(k, n)
+        fake_stats.update(extractor(to_uint8(fakes)))
+        generated += n
+    mu_r, cov_r = real_stats.moments()
+    mu_f, cov_f = fake_stats.moments()
+    return frechet_distance(mu_r, cov_r, mu_f, cov_f)

@@ -1,0 +1,183 @@
+"""Trainer: epoch loop, observability, checkpoint/resume, FID, best tracking.
+
+The v1/v2 trainer roles combined (ref:src/v1/gan.py:71-177 GAN.fit,
+ref:src/v2/training.py:34-268 train_model):
+
+- epoch loop over the host pipeline with the jitted train step;
+- per-epoch: sample/noise/input image grids (ref:src/v2/training.py:166-172),
+  scalar logging to TensorBoard/JSONL (ref:src/v1/gan.py:132-134), FID
+  evaluation + best-FID checkpoint (ref:src/v2/training.py:213-226), periodic
+  full-state checkpoint (ref:src/v1/gan.py:165-173), loss-curve figures
+  (ref:src/v2/utils.py:46-96);
+- crash-safe finally: final checkpoint + figures + samples on ANY exit,
+  including Ctrl-C (ref:main-v1.py:39-44, ref:src/v2/training.py:248-268);
+- resume restores the exact step state (params, optimizer moments, PRNG),
+  strictly stronger than the reference's epoch+lr restore (ref:src/v1/gan.py:84-91).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from vitgan_tpu.config import ExperimentConfig
+from vitgan_tpu.data import make_pipeline
+from vitgan_tpu.models import build_gan, count_params
+from vitgan_tpu.parallel import make_mesh, shard_pytree_replicated
+from vitgan_tpu.train import fid as FID
+from vitgan_tpu.train.state import create_train_state
+from vitgan_tpu.train.step import make_sample_fn, make_train_step
+from vitgan_tpu.utils import MetricLogger, construct_directories, get_logger
+from vitgan_tpu.utils.checkpoint import CheckpointManager
+from vitgan_tpu.utils.images import make_grid, save_image_grid
+
+
+class Trainer:
+    def __init__(self, cfg: ExperimentConfig, mesh=None, run_base: Optional[str] = None,
+                 fid_extractor: str = "auto"):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+        self.dirs = construct_directories(cfg.run_name, base=run_base)
+        self.log = get_logger("vitgan_tpu", self.dirs.training_log)
+        self.metrics = MetricLogger(self.dirs.logs)
+        self.ckpts = CheckpointManager(self.dirs.checkpoints, keep=cfg.run.keep_checkpoints)
+        self.gan = build_gan(cfg)
+        m = cfg.model
+        self.pipeline = make_pipeline(
+            cfg.data, m.batch_size, m.image_size, m.channels,
+            mesh=self.mesh, seed=m.seed,
+        )
+        self.train_step = make_train_step(self.gan, cfg, donate=cfg.runtime.donate_state)
+        self.sample_fn = make_sample_fn(self.gan, cfg)
+        self._extractor_name = fid_extractor
+        self._extractor = None
+        key = jax.random.PRNGKey(m.seed)
+        self.state = shard_pytree_replicated(
+            self.mesh, create_train_state(key, self.gan, cfg)
+        )
+        # Fixed noise for comparable per-epoch grids (ref:cnn/cnn-gan.ipynb cell 12 convention).
+        self.eval_noise = self.gan.sample_latent(jax.random.PRNGKey(m.seed + 1),
+                                                 min(64, m.batch_size))
+        self.best_metric = float("inf")
+        self.epoch = 0
+        self.log.info(
+            "model %s: G params %d, D params %d | devices %d",
+            cfg.family,
+            count_params(self.state.g_params),
+            count_params(self.state.d_params),
+            self.mesh.devices.size,
+        )
+
+    # ------------------------------------------------------------------ utils
+
+    @property
+    def extractor(self):
+        if self._extractor is None:
+            self._extractor = FID.make_feature_extractor(
+                self._extractor_name, self.cfg.model.channels
+            )
+        return self._extractor
+
+    def resume(self, step: Optional[int] = None, best: bool = False) -> None:
+        self.state, meta = self.ckpts.restore(self.state, step=step, best=best)
+        self.state = shard_pytree_replicated(self.mesh, self.state)
+        self.epoch = int(meta.get("epoch", 0))
+        self.best_metric = float(meta.get("best_metric", float("inf")))
+        self.log.info("resumed from step %d (epoch %d)", int(self.state.step), self.epoch)
+
+    def sample(self, n: int, rng: Optional[jax.Array] = None) -> np.ndarray:
+        z = self.gan.sample_latent(rng if rng is not None else jax.random.PRNGKey(0), n)
+        return np.asarray(self.sample_fn(self.state.g_vars, z))
+
+    def evaluate_fid(self, num_samples: Optional[int] = None) -> float:
+        num_samples = num_samples or self.cfg.run.fid_num_samples
+        num_samples = min(num_samples, self.pipeline.num_samples)
+
+        def sample_batch(rng, n):
+            z = self.gan.sample_latent(rng, n)
+            return np.asarray(self.sample_fn(self.state.g_vars, z))
+
+        real_batches = (np.asarray(x) for x, _ in self.pipeline.epoch())
+        return FID.compute_fid(
+            sample_batch, real_batches, self.extractor,
+            jax.random.PRNGKey(int(self.state.step)), num_samples,
+            self.cfg.model.batch_size,
+        )
+
+    # ------------------------------------------------------------------ loop
+
+    def _save_grids(self, epoch: int) -> None:
+        imgs = np.asarray(self.sample_fn(self.state.g_vars, self.eval_noise))
+        save_image_grid(f"{self.dirs.images}/epoch_{epoch:04d}.png", imgs)
+        self.metrics.image_grid("samples", make_grid(imgs), int(self.state.step))
+
+    def fit(self, epochs: Optional[int] = None) -> Dict[str, float]:
+        run = self.cfg.run
+        epochs = epochs if epochs is not None else run.epochs
+        last: Dict[str, float] = {}
+        t_start = time.time()
+        try:
+            # Input/noise reference grids once per run (ref:src/v2/training.py:166-168).
+            first_real, _ = next(iter(self.pipeline.epoch()))
+            save_image_grid(f"{self.dirs.input}/real.png", np.asarray(first_real[:64]))
+            np.save(f"{self.dirs.noise}/eval_noise.npy", np.asarray(self.eval_noise))
+
+            for epoch in range(self.epoch, epochs):
+                self.epoch = epoch
+                epoch_metrics: Dict[str, list] = {}
+                t0, images_done = time.time(), 0
+                for i, (real, _labels) in enumerate(self.pipeline.epoch()):
+                    if run.steps_per_epoch and i >= run.steps_per_epoch:
+                        break
+                    self.state, m = self.train_step(self.state, real)
+                    images_done += real.shape[0]
+                    for k, v in m.items():
+                        epoch_metrics.setdefault(k, []).append(v)
+                    if run.log_every_steps and (i + 1) % run.log_every_steps == 0:
+                        self.log.info(
+                            "epoch %d step %d | D %.4f G %.4f",
+                            epoch, i + 1, float(m["d_loss"]), float(m["g_loss"]),
+                        )
+                means = {k: float(np.mean([float(x) for x in v]))
+                         for k, v in epoch_metrics.items()}
+                dt = time.time() - t0
+                means["images_per_sec"] = images_done / max(dt, 1e-9)
+                self.metrics.scalars(
+                    {f"train/{k}": v for k, v in means.items()}, int(self.state.step)
+                )
+
+                if run.sample_grid_every_epochs and (epoch + 1) % run.sample_grid_every_epochs == 0:
+                    self._save_grids(epoch)
+                if run.fid_every_epochs and (epoch + 1) % run.fid_every_epochs == 0:
+                    fid_val = self.evaluate_fid()
+                    means["fid"] = fid_val
+                    self.metrics.scalar("eval/fid", fid_val, int(self.state.step))
+                    if fid_val < self.best_metric:
+                        self.best_metric = fid_val
+                        self.ckpts.save_best(
+                            int(self.state.step), jax.device_get(self.state),
+                            run.best_metric, fid_val, {"epoch": epoch},
+                        )
+                if run.checkpoint_every_epochs and (epoch + 1) % run.checkpoint_every_epochs == 0:
+                    self.ckpts.save(int(self.state.step), jax.device_get(self.state),
+                                    {"epoch": epoch + 1, "best_metric": self.best_metric})
+                self.log.info(
+                    "epoch %d done | %s", epoch,
+                    " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items())),
+                )
+                last = means
+        finally:
+            # Crash-safe epilogue (ref:src/v2/training.py:252-268, ref:main-v1.py:39-44).
+            self.ckpts.save(int(self.state.step), jax.device_get(self.state),
+                            {"epoch": self.epoch + 1, "best_metric": self.best_metric,
+                             "final": True})
+            self.metrics.save_figures(self.dirs.images)
+            try:
+                self._save_grids(self.epoch)
+            except Exception:
+                pass
+            self.log.info("training finished in %.1fs", time.time() - t_start)
+        return last

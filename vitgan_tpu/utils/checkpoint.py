@@ -1,0 +1,95 @@
+"""Orbax checkpoint/resume of the FULL train state.
+
+The reference checkpoints only ``{lr, epoch, state_dict}`` every 50 epochs and
+on best-criterion (ref:src/v1/gan.py:165-191), losing optimizer moments
+(SURVEY §5.4); v2 saves bare state dicts named
+``best_model_epoch_<e>_fid_<f>.pth`` (ref:src/v2/training.py:218-226).  Here a
+checkpoint is the exact step state — params, model state, both optax states,
+PRNG key, step — so resume is bit-identical, plus a small JSON sidecar with
+epoch/metric metadata (preserving the best-FID-in-name convention).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Step-indexed checkpoints with keep-N retention and best-metric tracking."""
+
+    def __init__(self, directory: str, keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.keep = keep
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.directory, f"step_{step:010d}")
+
+    def save(self, step: int, state: Any, metadata: Optional[Dict[str, Any]] = None) -> str:
+        path = self._path(step)
+        self._ckptr.save(path, state, force=True)
+        self._ckptr.wait_until_finished()
+        with open(path + ".json", "w") as f:
+            json.dump({"step": step, **(metadata or {})}, f)
+        self._retain()
+        return path
+
+    def save_best(self, step: int, state: Any, metric_name: str, metric_value: float,
+                  metadata: Optional[Dict[str, Any]] = None) -> str:
+        """Best-model checkpoint keyed on a named criterion (ref:src/v1/gan.py:77,136-138)."""
+        path = os.path.join(self.directory, "best")
+        self._ckptr.save(path, state, force=True)
+        self._ckptr.wait_until_finished()
+        with open(path + ".json", "w") as f:
+            json.dump({"step": step, "metric": metric_name, "value": metric_value,
+                       **(metadata or {})}, f)
+        return path
+
+    def _retain(self) -> None:
+        steps = self.all_steps()
+        for s in steps[: max(0, len(steps) - self.keep)]:
+            p = self._path(s)
+            import shutil
+
+            shutil.rmtree(p, ignore_errors=True)
+            try:
+                os.remove(p + ".json")
+            except OSError:
+                pass
+
+    def all_steps(self):
+        out = []
+        for name in os.listdir(self.directory):
+            m = re.fullmatch(r"step_(\d+)", name)
+            if m and os.path.isdir(os.path.join(self.directory, name)):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def latest_step(self) -> Optional[int]:
+        steps = self.all_steps()
+        return steps[-1] if steps else None
+
+    def restore(self, target: Any, step: Optional[int] = None,
+                best: bool = False) -> Tuple[Any, Dict[str, Any]]:
+        """Restore into the structure of ``target`` (an abstract or concrete state)."""
+        if best:
+            path = os.path.join(self.directory, "best")
+        else:
+            step = step if step is not None else self.latest_step()
+            if step is None:
+                raise FileNotFoundError(f"no checkpoints under {self.directory}")
+            path = self._path(step)
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+        state = self._ckptr.restore(path, abstract)
+        meta = {}
+        if os.path.exists(path + ".json"):
+            with open(path + ".json") as f:
+                meta = json.load(f)
+        return state, meta
