@@ -1,0 +1,75 @@
+"""Benchmark harness: images/sec/chip for the combined G+D train step at 32x32.
+
+Runs the reference's v2 configuration (batch 64, embed 128, depth 6, heads 4,
+patch 4 — ref:src/v2/utils.py:25-41) through our jitted alternating train step
+on the available accelerator and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` is the ratio to the PyTorch-CPU reference implementation
+measured by scripts/measure_torch_baseline.py (BASELINE_MEASURED.json).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from vitgan_tpu import config as C  # noqa: E402
+from vitgan_tpu.models import build_gan  # noqa: E402
+from vitgan_tpu.train import create_train_state, make_train_step  # noqa: E402
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "30"))
+    cfg = C.ExperimentConfig(family="v2", data=C.DataConfig(dataset="synthetic"))
+    cfg = C.replace(cfg, **{"v2.batch_size": batch})
+
+    gan = build_gan(cfg)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(rng, gan, cfg)
+    step = make_train_step(gan, cfg)
+
+    real = jax.device_put(
+        np.random.default_rng(0).uniform(-1, 1, (batch, 32, 32, 3)).astype(np.float32)
+    )
+
+    # Warmup / compile.
+    for _ in range(5):
+        state, metrics = step(state, real)
+    jax.block_until_ready(metrics["d_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, real)
+    jax.block_until_ready(metrics["d_loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = max(1, len(jax.devices()))
+    ips_per_chip = batch * n_steps / dt / n_chips
+
+    vs = None
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f).get("torch_cpu_images_per_sec")
+        if base:
+            vs = ips_per_chip / base
+
+    print(json.dumps({
+        "metric": "images/sec/chip, combined G+D train step, v2 ViT-GAN 32x32 batch %d" % batch,
+        "value": round(ips_per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
