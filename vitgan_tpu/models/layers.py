@@ -302,8 +302,10 @@ def mhsa(params: Params, state: Params, x: jnp.ndarray, *, score_mode: str = "do
     if "qkv_b" in params:
         qkv = qkv + params["qkv_b"].astype(x.dtype)[:, None, :, None, :]
     q, k, v = qkv[0], qkv[1], qkv[2]
-    scores = attention_scores(q, k, scale, score_mode)
-    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhnm,bhmd->bnhd", attn, v, preferred_element_type=x.dtype)
-    out = out.reshape(*x.shape[:-1], num_heads * head_dim)
+    # Policy-routed hot loop: Pallas flash kernel on TPU for long sequences,
+    # fused XLA attention otherwise (see vitgan_tpu.ops.attention).
+    from vitgan_tpu.ops.attention import dispatch_attention
+
+    out = dispatch_attention(q, k, v, score_mode, float(scale))
+    out = out.transpose(0, 2, 1, 3).reshape(*x.shape[:-1], num_heads * head_dim)
     return dense(params["out"], out), new_state
