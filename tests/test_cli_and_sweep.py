@@ -1,0 +1,74 @@
+"""CLI end-to-end (train -> generate) and sweep runner tests (DEV smoke configs)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vitgan_tpu import cli
+
+
+@pytest.fixture()
+def dev_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("DEV", "1")
+    monkeypatch.setenv("SCRATCH", str(tmp_path))
+    return tmp_path
+
+
+def test_cli_train_then_generate(dev_env):
+    rc = cli.main([
+        "train", "--family", "mlp", "--dataset", "synthetic", "--epochs", "1",
+        "--run-name", "clirun",
+    ])
+    assert rc == 0
+    run_dir = os.path.join(str(dev_env), "output", "clirun")
+    assert os.path.isdir(os.path.join(run_dir, "checkpoints"))
+
+    rc = cli.main(["generate", "--family", "mlp", "--run-dir", run_dir,
+                   "--num-images", "4"])
+    assert rc == 0
+    assert os.path.getsize(os.path.join(run_dir, "test", "generated_images.png")) > 0
+
+
+def test_cli_set_override(dev_env):
+    rc = cli.main([
+        "train", "--family", "mlp", "--dataset", "synthetic", "--epochs", "1",
+        "--run-name", "ovr", "--set", "run.steps_per_epoch=1",
+        "--set", "run.fid_every_epochs=0",
+    ])
+    assert rc == 0
+
+
+def test_sweep_runner(dev_env):
+    from vitgan_tpu import config as C
+    from vitgan_tpu.hpo.sweep import run_sweep, sample_search_space
+
+    rng = np.random.default_rng(0)
+    space = sample_search_space(rng)
+    assert set(space) == {"gen_lr", "disc_lr", "embed_dim", "num_heads", "batch_size"}
+    assert 1e-6 <= space["gen_lr"] <= 1e-4
+
+    base = C.replace(
+        C.smoke_config("v2"),
+        **{"run.checkpoint_every_epochs": 0, "run.sample_grid_every_epochs": 0,
+           "run.fid_num_samples": 16},
+    )
+    # shrink the search space's heavy knobs via the base smoke config sizes
+    import vitgan_tpu.hpo.sweep as S
+
+    def tiny_space(rng):
+        return {"gen_lr": 1e-4, "disc_lr": 1e-4, "embed_dim": 32, "num_heads": 2,
+                "batch_size": 8}
+
+    orig = S.sample_search_space
+    S.sample_search_space = tiny_space
+    try:
+        best = run_sweep(num_trials=2, epochs_per_trial=1, base_cfg=base,
+                         run_base=str(dev_env / "sweeps"))
+    finally:
+        S.sample_search_space = orig
+    assert np.isfinite(best["fid"])
+    results = open(str(dev_env / "sweeps" / "sweep_results.jsonl")).read().strip().splitlines()
+    assert len(results) == 2
+    assert json.load(open(str(dev_env / "sweeps" / "best_config.json")))["trial"] in (0, 1)

@@ -1,0 +1,141 @@
+"""Command-line interface.
+
+The reference has no CLI at all (behavior edited in source, two env vars —
+SURVEY §5.6); parity plus a thin argparse layer:
+
+- ``train``    — main-v1.py / main-v2.py / cnn notebook / idc.py roles via --family
+- ``generate`` — test-generation.py role (ref:src/v2/generation.py:10-60)
+- ``sweep``    — train_with_ray() role, Ray-free (ref:src/v2/training.py:271-294)
+
+Env contract preserved: $SCRATCH artifact root, DEV shrink flag.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List, Optional
+
+
+def _build_cfg(args) -> "ExperimentConfig":
+    from vitgan_tpu import config as C
+
+    if C.dev_mode():
+        cfg = C.smoke_config(args.family)
+    else:
+        cfg = C.ExperimentConfig(family=args.family)
+    overrides = {}
+    if args.dataset:
+        overrides["data.dataset"] = args.dataset
+    if args.epochs is not None:
+        overrides["run.epochs"] = args.epochs
+    if args.batch_size is not None:
+        overrides[f"{args.family}.batch_size"] = args.batch_size
+    if args.seed is not None:
+        overrides[f"{args.family}.seed"] = args.seed
+    if args.loss is not None and args.family in ("v1", "v2"):
+        overrides[f"{args.family}.loss"] = args.loss
+    if args.run_name:
+        overrides["run_name"] = args.run_name
+    for kv in args.set or []:
+        key, val = kv.split("=", 1)
+        overrides[key] = json.loads(val) if val[:1] in "0123456789.-[tf\"" else val
+    return C.replace(cfg, **overrides) if overrides else cfg
+
+
+def cmd_train(args) -> int:
+    from vitgan_tpu.parallel import initialize_distributed
+    from vitgan_tpu.train.trainer import Trainer
+
+    initialize_distributed()
+    cfg = _build_cfg(args)
+    trainer = Trainer(cfg)
+    if args.resume:
+        trainer.resume()
+    trainer.fit()
+    return 0
+
+
+def cmd_generate(args) -> int:
+    """Load a checkpoint, sample a grid (ref:src/v2/generation.py:26-60)."""
+    import jax
+    import numpy as np
+
+    from vitgan_tpu import config as C
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.train import create_train_state, make_sample_fn
+    from vitgan_tpu.utils.checkpoint import CheckpointManager
+    from vitgan_tpu.utils.images import save_image_grid
+    from vitgan_tpu.utils.run_dirs import latest_run
+
+    run_dir = args.run_dir or latest_run()
+    if run_dir is None:
+        print("no run directory found", file=sys.stderr)
+        return 1
+    cfg = C.smoke_config(args.family) if C.dev_mode() else C.ExperimentConfig(family=args.family)
+    gan = build_gan(cfg)
+    state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
+    mgr = CheckpointManager(os.path.join(run_dir, "checkpoints"))
+    state, meta = mgr.restore(state, best=args.best)
+    sample = make_sample_fn(gan, cfg)
+    z = gan.sample_latent(jax.random.PRNGKey(args.seed or 0), args.num_images)
+    imgs = np.asarray(sample({"params": state.g_params, "state": state.g_state}, z))
+    out_dir = os.path.join(run_dir, "test")
+    save_image_grid(os.path.join(out_dir, "generated_images.png"), imgs)
+    np.save(os.path.join(out_dir, "noise.npy"), np.asarray(z))
+    print(f"wrote {args.num_images} samples to {out_dir} (ckpt step {meta.get('step')})")
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    from vitgan_tpu.hpo.sweep import run_sweep
+
+    best = run_sweep(num_trials=args.num_trials, epochs_per_trial=args.epochs or 1,
+                     seed=args.seed or 0, dataset=args.dataset or "synthetic")
+    print(json.dumps(best, indent=2, default=str))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vitgan-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--family", choices=["v1", "v2", "dcgan", "mlp"], default="v2")
+        sp.add_argument("--dataset", choices=["cifar10", "mnist", "synthetic"], default=None)
+        sp.add_argument("--epochs", type=int, default=None)
+        sp.add_argument("--batch-size", type=int, default=None)
+        sp.add_argument("--seed", type=int, default=None)
+        sp.add_argument("--loss", choices=["bce", "mse", "wgan-gp"], default=None)
+        sp.add_argument("--run-name", default=None)
+        sp.add_argument("--set", action="append", metavar="dotted.key=value",
+                        help="raw config override, e.g. --set v2.depth=8")
+
+    t = sub.add_parser("train", help="train a GAN family")
+    common(t)
+    t.add_argument("--resume", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    g = sub.add_parser("generate", help="sample images from a checkpoint")
+    common(g)
+    g.add_argument("--run-dir", default=None, help="defaults to latest under $SCRATCH/output")
+    g.add_argument("--best", action="store_true", help="use the best-FID checkpoint")
+    g.add_argument("--num-images", type=int, default=64)
+    g.set_defaults(fn=cmd_generate)
+
+    s = sub.add_parser("sweep", help="hyperparameter sweep (Ray-free)")
+    common(s)
+    s.add_argument("--num-trials", type=int, default=10)
+    s.set_defaults(fn=cmd_sweep)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
