@@ -74,13 +74,23 @@ def _encoder_init(key, cfg: V2Config, dtype=jnp.float32):
 
 
 def _encoder_apply(p, x, cfg: V2Config, rng, train):
-    """x + drop(MHSA(LN1 x)); x + drop(FC2(GELU(FC1(LN2 x)))) (ref:src/v2/modules.py:178-183)."""
+    """x + drop(MHSA(LN1 x)); x + drop(FC2(GELU(FC1(LN2 x)))) (ref:src/v2/modules.py:178-183).
+
+    The MLP half routes through the fused Pallas LN+MLP kernel when the policy
+    allows (residual applied after dropout, so the kernel runs residual-free).
+    """
+    from vitgan_tpu.ops.fused_mlp import dispatch_ln_mlp
+
     r1, r2 = jax.random.split(rng) if rng is not None else (None, None)
     head_dim = cfg.embed_dim // cfg.num_heads
     a, _ = L.mhsa(p["msha"], {}, L.layer_norm(p["ln1"], x), score_mode="dot", scale=head_dim)
     x = x + L.dropout(r1, a, cfg.dropout, train)
-    h = jax.nn.gelu(L.dense(p["fc1"], L.layer_norm(p["ln2"], x)))
-    x = x + L.dropout(r2, L.dense(p["fc2"], h), cfg.dropout, train)
+    mlp_out = dispatch_ln_mlp(
+        x, p["ln2"]["scale"], p["ln2"]["bias"],
+        p["fc1"]["w"], p["fc1"]["b"], p["fc2"]["w"], p["fc2"]["b"],
+        activation="gelu", residual=False,
+    )
+    x = x + L.dropout(r2, mlp_out, cfg.dropout, train)
     return x
 
 

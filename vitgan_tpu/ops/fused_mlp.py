@@ -1,0 +1,165 @@
+"""Pallas TPU fused transformer-MLP block: LN -> fc1 -> act -> fc2 -> +residual.
+
+The reference's per-block MLP half is four separate torch ops
+(ref:src/v2/modules.py:178-183, ref:src/v1/transformer.py:40-45), each a round
+trip through memory.  This kernel runs the whole residual-MLP half of a
+transformer block in one VMEM pass per row tile: LayerNorm statistics, both
+matmuls on the MXU, the activation on the VPU, and the residual add — the
+(rows, hidden) intermediate never touches HBM.
+
+Backward is a pure-JAX recompute VJP (exact gradients).  Like the attention
+kernel this is routed by the same policy switch; at CIFAR widths XLA fusion is
+already close to optimal, the win grows with embed width and sequence length.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+_ACTS = {
+    "gelu": jax.nn.gelu,
+    "relu": jax.nn.relu,
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+}
+
+
+def _kernel(x_ref, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+            *, activation: str, eps: float, residual: bool, d_real: int):
+    x = x_ref[:].astype(jnp.float32)  # (rows, Dp)
+    # LayerNorm over the real features only (padding excluded from statistics).
+    dp = x.shape[-1]
+    if d_real != dp:
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        mask = (col < d_real).astype(jnp.float32)
+        x = x * mask
+        mean = jnp.sum(x, axis=-1, keepdims=True) / d_real
+        centered = (x - mean) * mask
+        var = jnp.sum(centered * centered, axis=-1, keepdims=True) / d_real
+    else:
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        centered = x - mean
+        var = jnp.mean(centered * centered, axis=-1, keepdims=True)
+    y = centered * jax.lax.rsqrt(var + eps)
+    y = y * ln_scale_ref[:].astype(jnp.float32) + ln_bias_ref[:].astype(jnp.float32)
+    if d_real != dp:
+        y = y * mask
+    h = jnp.dot(y, w1_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
+    h = h + b1_ref[:].astype(jnp.float32)
+    h = _ACTS[activation](h)
+    out = jnp.dot(h, w2_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
+    out = out + b2_ref[:].astype(jnp.float32)
+    if residual:
+        out = out + x_ref[:].astype(jnp.float32)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _forward(x, ln_scale, ln_bias, w1, b1, w2, b2, activation, eps, residual,
+             block_rows, interpret):
+    orig_shape = x.shape
+    d = x.shape[-1]
+    hidden = w1.shape[-1]
+    rows = 1
+    for s in orig_shape[:-1]:
+        rows *= s
+    x2 = x.reshape(rows, d)
+    d_pad = _ceil_to(d, 128)
+    h_pad = _ceil_to(hidden, 128)
+    rows_pad = _ceil_to(rows, block_rows)
+    x2 = jnp.pad(x2, ((0, rows_pad - rows), (0, d_pad - d)))
+    ln_s = jnp.pad(ln_scale, (0, d_pad - d)).reshape(1, d_pad)
+    ln_b = jnp.pad(ln_bias, (0, d_pad - d)).reshape(1, d_pad)
+    w1p = jnp.pad(w1, ((0, d_pad - d), (0, h_pad - hidden)))
+    b1p = jnp.pad(b1, (0, h_pad - hidden)).reshape(1, h_pad)
+    w2p = jnp.pad(w2, ((0, h_pad - hidden), (0, d_pad - d)))
+    b2p = jnp.pad(b2, (0, d_pad - d)).reshape(1, d_pad)
+
+    kernel = functools.partial(_kernel, activation=activation, eps=eps,
+                               residual=residual, d_real=d)
+    full = lambda *_: (0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows_pad, d_pad), x.dtype),
+        grid=(rows_pad // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, d_pad), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, h_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_pad, d_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, d_pad), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x2, ln_s, ln_b, w1p, b1p, w2p, b2p)
+    return out[:rows, :d].reshape(orig_shape)
+
+
+def _reference(x, ln_scale, ln_bias, w1, b1, w2, b2, activation, eps, residual):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias
+    h = _ACTS[activation](y @ w1.astype(jnp.float32) + b1)
+    out = h @ w2.astype(jnp.float32) + b2
+    if residual:
+        out = out + xf
+    return out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, activation: str = "gelu",
+                 eps: float = 1e-5, residual: bool = True, block_rows: int = 256,
+                 interpret: bool = False):
+    """out = [x +] fc2(act(fc1(LN(x)))).  x: (..., D)."""
+    return _forward(x, ln_scale, ln_bias, w1, b1, w2, b2, activation, eps,
+                    residual, block_rows, interpret)
+
+
+def _fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, activation, eps, residual,
+         block_rows, interpret):
+    out = fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, activation, eps,
+                       residual, block_rows, interpret)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _bwd(activation, eps, residual, block_rows, interpret, res, g):
+    x, ln_scale, ln_bias, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda *a: _reference(*a, activation, eps, residual),
+        x, ln_scale, ln_bias, w1, b1, w2, b2,
+    )
+    return vjp(g)
+
+
+fused_ln_mlp.defvjp(_fwd, _bwd)
+
+
+def dispatch_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, activation: str = "gelu",
+                    residual: bool = True, min_rows: int = 2048):
+    """Policy-routed LN+MLP: the Pallas kernel on TPU for big row counts
+    (shares the process-wide policy with the attention kernel), XLA otherwise."""
+    from vitgan_tpu.ops.attention import _POLICY, _on_tpu
+
+    rows = 1
+    for s in x.shape[:-1]:
+        rows *= s
+    mode = _POLICY["mode"]
+    use = mode == "always" or (mode == "auto" and _on_tpu() and rows >= min_rows)
+    if use:
+        return fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, activation,
+                            1e-5, residual, 256, not _on_tpu())
+    return _reference(x, ln_scale, ln_bias, w1, b1, w2, b2, activation, 1e-5, residual)
