@@ -242,6 +242,7 @@ class TrainRunConfig:
     best_metric: str = "fid"  # best-model tracking criterion (ref:src/v1/gan.py:77,136-138)
     log_every_steps: int = 50
     keep_checkpoints: int = 3
+    diff_augment: str = ""  # DiffAugment spec for D inputs, e.g. "color,translation,cutout"
 
 
 @dataclass(frozen=True)
@@ -279,6 +280,47 @@ def replace(cfg: Any, **kwargs: Any) -> Any:
     for head, sub in nested.items():
         direct[head] = replace(getattr(cfg, head), **sub)
     return dataclasses.replace(cfg, **direct)
+
+
+def deit64_config() -> ExperimentConfig:
+    """BASELINE config #4: DeiT-style discriminator with heavier augmentations
+    at 64x64 (patch 4 => 256 tokens + CLS, exercising the augment kernels and
+    the flash-attention threshold)."""
+    cfg = ExperimentConfig(family="v2")
+    return replace(
+        cfg,
+        **{
+            "v2.image_size": 64,
+            "v2.embed_dim": 192,  # DeiT-Tiny width
+            "v2.depth": 12,
+            "v2.num_heads": 3,
+            "v2.mlp_ratio": 4,
+            "v2.patch_size": 4,
+            "run.diff_augment": "color,translation,cutout",
+        },
+    )
+
+
+def highres_config(image_size: int = 128) -> ExperimentConfig:
+    """BASELINE config #5: deeper transformer generator at 128-256px
+    (~1k-4k tokens at patch 4) — blockwise Pallas attention + remat territory."""
+    assert image_size in (128, 256)
+    cfg = ExperimentConfig(family="v2")
+    return replace(
+        cfg,
+        **{
+            "v2.image_size": image_size,
+            "v2.embed_dim": 384,
+            "v2.depth": 12,
+            "v2.num_heads": 6,
+            "v2.mlp_ratio": 4,
+            "v2.patch_size": 8 if image_size == 256 else 4,
+            "v2.batch_size": 32,
+            "v2.latent_dim": 256,
+            "runtime.remat": True,
+            "run.diff_augment": "color,translation",
+        },
+    )
 
 
 def smoke_config(family: str = "v2") -> ExperimentConfig:

@@ -58,6 +58,14 @@ def unpatchify(tokens: jnp.ndarray, patch: int, image_size: int, channels: int) 
 # ---------------------------------------------------------------------------
 
 
+def _maybe_remat(fn):
+    """Rematerialize a transformer block under the process remat policy —
+    trades recompute FLOPs for HBM at high resolution (BASELINE config #5)."""
+    from vitgan_tpu.ops.policy import remat_enabled
+
+    return jax.checkpoint(fn) if remat_enabled() else fn
+
+
 def _encoder_init(key, cfg: V2Config, dtype=jnp.float32):
     """Pre-LN encoder block (ref:src/v2/modules.py:165-176)."""
     k1, k2, k3 = jax.random.split(key, 3)
@@ -122,8 +130,9 @@ def vit_encode(params, images, cfg: V2Config, *, rng=None, train=False) -> jnp.n
     n = cfg.depth + 1
     rngs = jax.random.split(rng, n) if rng is not None else [None] * n
     x = L.dropout(rngs[0], x, cfg.dropout, train)
+    block = _maybe_remat(lambda p, x, r: _encoder_apply(p, x, cfg, r, train))
     for p, r in zip(params["blocks"], rngs[1:]):
-        x = _encoder_apply(p, x, cfg, r, train)
+        x = block(p, x, r)
     return L.layer_norm(params["ln"], x)
 
 
@@ -166,8 +175,9 @@ def generator_apply(variables, z, cfg: V2Config, *, rng=None, train=False):
     x = L.dense(params["mapping"], z).reshape(-1, n_patches, cfg.embed_dim)
     x = x + params["pos"].astype(x.dtype)
     rngs = jax.random.split(rng, cfg.depth) if rng is not None else [None] * cfg.depth
+    block = _maybe_remat(lambda p, x, r: _encoder_apply(p, x, cfg, r, train))
     for p, r in zip(params["blocks"], rngs):
-        x = _encoder_apply(p, x, cfg, r, train)
+        x = block(p, x, r)
     x = L.layer_norm(params["ln"], x)
     pix = jnp.tanh(L.dense(params["to_pixels"], x))
     return unpatchify(pix, cfg.patch_size, cfg.image_size, cfg.channels), {}

@@ -165,22 +165,14 @@ flash_attention.defvjp(_fwd, _bwd)
 # Dispatch policy
 # ---------------------------------------------------------------------------
 
-_POLICY = {"mode": "auto", "min_seq_len": 256}
+from vitgan_tpu.ops.policy import _POLICY, on_tpu as _on_tpu  # noqa: E402
 
 
 def set_attention_policy(mode: str, min_seq_len: int = 256) -> None:
-    """Process-wide kernel policy, set from RuntimeConfig.use_pallas before
-    tracing.  'auto' | 'always' | 'never'."""
-    assert mode in ("auto", "always", "never"), mode
-    _POLICY["mode"] = mode
-    _POLICY["min_seq_len"] = min_seq_len
+    """Back-compat alias for ops.policy.set_policy."""
+    from vitgan_tpu.ops.policy import set_policy
 
-
-def _on_tpu() -> bool:
-    try:
-        return any(d.platform == "tpu" for d in jax.devices())
-    except Exception:
-        return False
+    set_policy(mode=mode, min_seq_len=min_seq_len)
 
 
 def use_pallas_attention(policy: Optional[str] = None, seq_len: int = 0,

@@ -152,12 +152,13 @@ def dispatch_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, activation: str = "gel
                     residual: bool = True, min_rows: int = 2048):
     """Policy-routed LN+MLP: the Pallas kernel on TPU for big row counts
     (shares the process-wide policy with the attention kernel), XLA otherwise."""
-    from vitgan_tpu.ops.attention import _POLICY, _on_tpu
+    from vitgan_tpu.ops.policy import _POLICY, on_tpu as _on_tpu
 
     rows = 1
     for s in x.shape[:-1]:
         rows *= s
     mode = _POLICY["mode"]
+    min_rows = _POLICY.get("min_mlp_rows", min_rows)
     use = mode == "always" or (mode == "auto" and _on_tpu() and rows >= min_rows)
     if use:
         return fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, activation,

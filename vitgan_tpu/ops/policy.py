@@ -1,0 +1,48 @@
+"""Process-wide compute-path policy, set once from RuntimeConfig before tracing.
+
+Consulted at trace time (all decisions are static under jit):
+- ``mode``:        'auto' | 'always' | 'never' — Pallas kernel routing
+- ``min_seq_len``: sequence threshold for the flash-attention kernel in 'auto'
+- ``min_mlp_rows``: row threshold for the fused LN+MLP kernel in 'auto'
+- ``remat``:       rematerialize transformer blocks (jax.checkpoint) to trade
+                   FLOPs for HBM at high resolution (BASELINE config #5)
+"""
+
+from __future__ import annotations
+
+import jax
+
+_POLICY = {"mode": "auto", "min_seq_len": 256, "min_mlp_rows": 2048, "remat": False}
+
+
+def set_policy(mode: str | None = None, min_seq_len: int | None = None,
+               min_mlp_rows: int | None = None, remat: bool | None = None) -> None:
+    if mode is not None:
+        assert mode in ("auto", "always", "never"), mode
+        _POLICY["mode"] = mode
+    if min_seq_len is not None:
+        _POLICY["min_seq_len"] = min_seq_len
+    if min_mlp_rows is not None:
+        _POLICY["min_mlp_rows"] = min_mlp_rows
+    if remat is not None:
+        _POLICY["remat"] = remat
+
+
+def get_policy() -> dict:
+    return dict(_POLICY)
+
+
+def remat_enabled() -> bool:
+    return bool(_POLICY["remat"])
+
+
+def on_tpu() -> bool:
+    try:
+        return any(d.platform == "tpu" for d in jax.devices())
+    except Exception:
+        return False
+
+
+def apply_from_runtime(runtime_cfg) -> None:
+    """Configure from a RuntimeConfig (vitgan_tpu.config.RuntimeConfig)."""
+    set_policy(mode=runtime_cfg.use_pallas, remat=runtime_cfg.remat)

@@ -44,10 +44,11 @@ def make_train_step(gan: GANBundle, cfg: ExperimentConfig, donate: bool = True):
     d_tx = make_optimizer(_optim_cfg(cfg, "disc"))
     dtype = _compute_dtype(cfg)
 
+    augment_spec = cfg.run.diff_augment
+
     def step(state: TrainState, real: jnp.ndarray) -> Tuple[TrainState, Dict[str, Any]]:
-        rng, k_noise, k_gen, k_d_real, k_d_fake, k_d_fake2, k_gp, k_in = jax.random.split(
-            state.rng, 8
-        )
+        (rng, k_noise, k_gen, k_d_real, k_d_fake, k_d_fake2, k_gp, k_in,
+         k_a1, k_a2, k_a3) = jax.random.split(state.rng, 11)
         real = real.astype(dtype)
         z = gan.sample_latent(k_noise, real.shape[0]).astype(dtype)
 
@@ -60,6 +61,11 @@ def make_train_step(gan: GANBundle, cfg: ExperimentConfig, donate: bool = True):
             n1, n2 = jax.random.split(k_in)
             d_real_in = real + mcfg.instance_noise * jax.random.normal(n1, real.shape, dtype)
             d_fake_in = fake_sg + mcfg.instance_noise * jax.random.normal(n2, fake.shape, dtype)
+        if augment_spec:  # DiffAugment: augment every D input, real and fake alike.
+            from vitgan_tpu.ops.augment import apply_augment
+
+            d_real_in = apply_augment(k_a1, d_real_in, augment_spec)
+            d_fake_in = apply_augment(k_a2, d_fake_in, augment_spec)
 
         # ---------------- D update ----------------
         def d_loss_fn(d_params):
@@ -102,8 +108,13 @@ def make_train_step(gan: GANBundle, cfg: ExperimentConfig, donate: bool = True):
         def g_loss_fn(g_params):
             gv = {"params": g_params, "state": state.g_state}
             fake2, g_state2 = gan.generator_apply(gv, z, rng=k_gen, train=True)
+            fake2_in = fake2
+            if augment_spec:  # differentiable augment on the G path too
+                from vitgan_tpu.ops.augment import apply_augment
+
+                fake2_in = apply_augment(k_a3, fake2, augment_spec)
             fake_logits, _ = gan.discriminator_apply(
-                {"params": d_params, "state": d_state}, fake2, rng=k_d_fake2, train=True
+                {"params": d_params, "state": d_state}, fake2_in, rng=k_d_fake2, train=True
             )
             if use_wgan:
                 loss = LO.wasserstein_g_loss(fake_logits)

@@ -39,9 +39,9 @@ class Trainer:
     def __init__(self, cfg: ExperimentConfig, mesh=None, run_base: Optional[str] = None,
                  fid_extractor: str = "auto"):
         self.cfg = cfg
-        from vitgan_tpu.ops.attention import set_attention_policy
+        from vitgan_tpu.ops.policy import apply_from_runtime
 
-        set_attention_policy(cfg.runtime.use_pallas)
+        apply_from_runtime(cfg.runtime)
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
         self.dirs = construct_directories(cfg.run_name, base=run_base)
         self.log = get_logger("vitgan_tpu", self.dirs.training_log)
