@@ -28,7 +28,7 @@ from vitgan_tpu.train import create_train_state, make_train_step  # noqa: E402
 
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "64"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "30"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "100"))
     cfg = C.ExperimentConfig(family="v2", data=C.DataConfig(dataset="synthetic"))
     cfg = C.replace(cfg, **{"v2.batch_size": batch})
 
@@ -42,7 +42,7 @@ def main():
     )
 
     # Warmup / compile.
-    for _ in range(5):
+    for _ in range(10):
         state, metrics = step(state, real)
     jax.block_until_ready(metrics["d_loss"])
 
