@@ -23,37 +23,42 @@ import numpy as np  # noqa: E402
 
 from vitgan_tpu import config as C  # noqa: E402
 from vitgan_tpu.models import build_gan  # noqa: E402
-from vitgan_tpu.train import create_train_state, make_train_step  # noqa: E402
+from vitgan_tpu.train import create_train_state  # noqa: E402
+from vitgan_tpu.train.step import make_multi_train_step  # noqa: E402
 
 
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "64"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "100"))
+    scan_steps = int(os.environ.get("BENCH_SCAN", "16"))
+    n_calls = int(os.environ.get("BENCH_CALLS", "10"))
     cfg = C.ExperimentConfig(family="v2", data=C.DataConfig(dataset="synthetic"))
     cfg = C.replace(cfg, **{"v2.batch_size": batch})
 
     gan = build_gan(cfg)
     rng = jax.random.PRNGKey(0)
     state = create_train_state(rng, gan, cfg)
-    step = make_train_step(gan, cfg)
+    # Scanned multi-step: identical sequential G/D updates, one device call per
+    # scan_steps microbatches (vitgan_tpu.train.step.make_multi_train_step).
+    step = make_multi_train_step(gan, cfg, scan_steps, donate=False)
 
-    real = jax.device_put(
-        np.random.default_rng(0).uniform(-1, 1, (batch, 32, 32, 3)).astype(np.float32)
+    reals = jax.device_put(
+        np.random.default_rng(0)
+        .uniform(-1, 1, (scan_steps, batch, 32, 32, 3))
+        .astype(np.float32)
     )
 
     # Warmup / compile.
-    for _ in range(10):
-        state, metrics = step(state, real)
+    state, metrics = step(state, reals)
     jax.block_until_ready(metrics["d_loss"])
 
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = step(state, real)
+    for _ in range(n_calls):
+        state, metrics = step(state, reals)
     jax.block_until_ready(metrics["d_loss"])
     dt = time.perf_counter() - t0
 
     n_chips = max(1, len(jax.devices()))
-    ips_per_chip = batch * n_steps / dt / n_chips
+    ips_per_chip = batch * scan_steps * n_calls / dt / n_chips
 
     vs = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")

@@ -243,6 +243,8 @@ class TrainRunConfig:
     log_every_steps: int = 50
     keep_checkpoints: int = 3
     diff_augment: str = ""  # DiffAugment spec for D inputs, e.g. "color,translation,cutout"
+    steps_per_call: int = 1  # >1 scans this many updates in one device call (dispatch amortization)
+    early_stop_patience: int = 0  # >0 enables FID early stopping (ref:src/v2/modules.py:26-45)
 
 
 @dataclass(frozen=True)

@@ -54,6 +54,13 @@ class Trainer:
             mesh=self.mesh, seed=m.seed,
         )
         self.train_step = make_train_step(self.gan, cfg, donate=cfg.runtime.donate_state)
+        self.steps_per_call = max(1, cfg.run.steps_per_call)
+        if self.steps_per_call > 1:
+            from vitgan_tpu.train.step import make_multi_train_step
+
+            self.multi_step = make_multi_train_step(
+                self.gan, cfg, self.steps_per_call, donate=cfg.runtime.donate_state
+            )
         self.sample_fn = make_sample_fn(self.gan, cfg)
         self._extractor_name = fid_extractor
         self._extractor = None
@@ -66,6 +73,11 @@ class Trainer:
                                                  min(64, m.batch_size))
         self.best_metric = float("inf")
         self.epoch = 0
+        self._early = None
+        if cfg.run.early_stop_patience > 0:
+            from vitgan_tpu.utils.logging import EarlyStopping
+
+            self._early = EarlyStopping(patience=cfg.run.early_stop_patience)
         self.log.info(
             "model %s: G params %d, D params %d | devices %d",
             cfg.family,
@@ -117,6 +129,34 @@ class Trainer:
         save_image_grid(f"{self.dirs.images}/epoch_{epoch:04d}.png", imgs)
         self.metrics.image_grid("samples", make_grid(imgs), int(self.state.step))
 
+    def _epoch_steps(self, run):
+        """Yield (metrics, images_done) per update, batching ``steps_per_call``
+        microbatches into one scanned device call when configured."""
+        import jax.numpy as jnp
+
+        it = self.pipeline.epoch()
+        if self.steps_per_call == 1:
+            for i, (real, _labels) in enumerate(it):
+                if run.steps_per_epoch and i >= run.steps_per_epoch:
+                    break
+                self.state, m = self.train_step(self.state, real)
+                yield m, real.shape[0]
+            return
+        step_idx, buf = 0, []
+        for real, _labels in it:
+            if run.steps_per_epoch and step_idx >= run.steps_per_epoch:
+                break
+            buf.append(real)
+            step_idx += 1
+            if len(buf) == self.steps_per_call:
+                self.state, ms = self.multi_step(self.state, jnp.stack(buf))
+                n = sum(b.shape[0] for b in buf)
+                buf = []
+                yield {k: v.mean() for k, v in ms.items()}, n
+        for real in buf:  # remainder: single steps
+            self.state, m = self.train_step(self.state, real)
+            yield m, real.shape[0]
+
     def fit(self, epochs: Optional[int] = None) -> Dict[str, float]:
         run = self.cfg.run
         epochs = epochs if epochs is not None else run.epochs
@@ -132,11 +172,8 @@ class Trainer:
                 self.epoch = epoch
                 epoch_metrics: Dict[str, list] = {}
                 t0, images_done = time.time(), 0
-                for i, (real, _labels) in enumerate(self.pipeline.epoch()):
-                    if run.steps_per_epoch and i >= run.steps_per_epoch:
-                        break
-                    self.state, m = self.train_step(self.state, real)
-                    images_done += real.shape[0]
+                for i, (m, n_images) in enumerate(self._epoch_steps(run)):
+                    images_done += n_images
                     for k, v in m.items():
                         epoch_metrics.setdefault(k, []).append(v)
                     if run.log_every_steps and (i + 1) % run.log_every_steps == 0:
@@ -164,6 +201,10 @@ class Trainer:
                             int(self.state.step), jax.device_get(self.state),
                             run.best_metric, fid_val, {"epoch": epoch},
                         )
+                    if self._early is not None and self._early.step(fid_val):
+                        self.log.info("early stopping at epoch %d (FID %.3f)", epoch, fid_val)
+                        last = means
+                        break
                 if run.checkpoint_every_epochs and (epoch + 1) % run.checkpoint_every_epochs == 0:
                     self.ckpts.save(int(self.state.step), jax.device_get(self.state),
                                     {"epoch": epoch + 1, "best_metric": self.best_metric})
