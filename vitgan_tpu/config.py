@@ -99,7 +99,10 @@ class DiscriminatorV1Config:
     depth: int = 4
     patch_size: int = 8
     overlap: int = 2
-    token_size: int = 384
+    # None => project to the raw flattened patch width (channels*(patch+2*overlap)^2
+    # = 432 at defaults), the width the reference sizes its transformer by
+    # (ref:src/v1/discriminatorViT.py:24-27).
+    token_size: Optional[int] = None
     embed_dropout: float = 0.1
     transformer: TransformerConfig = field(default_factory=TransformerConfig)
     spectral_rescale: bool = True  # ISR (ref:src/v1/attention.py:37-64)

@@ -50,6 +50,8 @@ class HostDataPipeline:
         augment_flip: bool = False,
         seed: int = 0,
         prefetch: int = 2,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         if images_u8.ndim != 4:
             raise ValueError("expect (N,H,W,C) uint8 images")
@@ -61,6 +63,11 @@ class HostDataPipeline:
         self.drop_last = drop_last
         self.augment_flip = augment_flip
         self.prefetch = max(1, prefetch)
+        # Multi-host: every process computes the SAME epoch permutation (seeded
+        # host-count-agnostically) and takes its contiguous slice of each global
+        # batch, so the global batch is disjoint across hosts (SURVEY §5.8).
+        self.process_index = process_index if process_index is not None else jax.process_index()
+        self.process_count = process_count if process_count is not None else jax.process_count()
         self._rng = np.random.default_rng(seed)
         self._native = None
         try:  # optional C++ fast path
@@ -115,6 +122,10 @@ class HostDataPipeline:
         slices = [order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(n_full)]
         if not self.drop_last and len(self.images) % self.batch_size:
             slices.append(order[n_full * self.batch_size :])
+        if self.process_count > 1:
+            local = self.batch_size // self.process_count
+            lo = self.process_index * local
+            slices = [sl[lo : lo + local] for sl in slices if len(sl) == self.batch_size]
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

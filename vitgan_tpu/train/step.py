@@ -184,6 +184,35 @@ def make_sample_fn(gan: GANBundle, cfg: ExperimentConfig):
     return sample
 
 
+def make_eval_step(gan: GANBundle, cfg: ExperimentConfig):
+    """Jitted no-update validation step (the working form of the reference's
+    broken _validate, ref:src/v1/gan.py:330-372 / SURVEY §2.4.6): D losses and
+    accuracies on real and freshly generated batches, eval mode."""
+    mcfg = cfg.model
+    loss_name = getattr(mcfg, "loss", "bce")
+    criterion = LO.pick_criterion(loss_name if loss_name in ("bce", "mse") else "bce")
+    dtype = _compute_dtype(cfg)
+
+    @jax.jit
+    def eval_step(state: TrainState, real: jnp.ndarray, rng: jax.Array):
+        real = real.astype(dtype)
+        z = gan.sample_latent(rng, real.shape[0]).astype(dtype)
+        fake, _ = gan.generator_apply(state.g_vars, z)
+        real_logits, _ = gan.discriminator_apply(state.d_vars, real)
+        fake_logits, _ = gan.discriminator_apply(state.d_vars, fake)
+        ones = jnp.ones_like(real_logits, jnp.float32)
+        zeros = jnp.zeros_like(fake_logits, jnp.float32)
+        return {
+            "val_d_loss_real": criterion(real_logits, ones),
+            "val_d_loss_fake": criterion(fake_logits, zeros),
+            "val_g_loss": LO.g_adversarial_loss(criterion, fake_logits),
+            "val_real_acc": LO.accuracy_from_logits(real_logits, True),
+            "val_fake_acc": LO.accuracy_from_logits(fake_logits, False),
+        }
+
+    return eval_step
+
+
 def make_discriminate_fn(gan: GANBundle, cfg: ExperimentConfig):
     """Jitted eval-mode discriminator probabilities (ref:src/v1/vitgan.py:23 role)."""
     dtype = _compute_dtype(cfg)

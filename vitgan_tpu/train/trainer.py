@@ -107,6 +107,53 @@ class Trainer:
         z = self.gan.sample_latent(rng if rng is not None else jax.random.PRNGKey(0), n)
         return np.asarray(self.sample_fn(self.state.g_vars, z))
 
+    def validate(self, num_batches: int = 8) -> Dict[str, float]:
+        """No-update validation pass: D/G losses + accuracies over held-out-style
+        batches (working form of ref:src/v1/gan.py:111-119,330-372)."""
+        from vitgan_tpu.train.step import make_eval_step
+
+        if not hasattr(self, "_eval_step"):
+            self._eval_step = make_eval_step(self.gan, self.cfg)
+        sums: Dict[str, float] = {}
+        n = 0
+        for i, (real, _labels) in enumerate(self.pipeline.epoch()):
+            if i >= num_batches:
+                break
+            m = self._eval_step(self.state, real, jax.random.PRNGKey(1000 + i))
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in sums.items()}
+
+    def profile(self, n_steps: int = 5) -> str:
+        """Capture a jax.profiler trace of n_steps train steps; returns trace dir."""
+        from vitgan_tpu.utils.profiling import trace
+
+        real, _ = next(iter(self.pipeline.epoch()))
+        trace_dir = f"{self.dirs.logs}/profile"
+        with trace(trace_dir):
+            for _ in range(n_steps):
+                self.state, m = self.train_step(self.state, real)
+            jax.block_until_ready(m["d_loss"])
+        return trace_dir
+
+    def warm_start_discriminator(self, source_d_params) -> int:
+        """strict=False warm start of D params from another checkpoint's tree
+        (ref:src/v2/modules.py:429-440 role).  Returns #leaves loaded."""
+        from vitgan_tpu.utils.checkpoint import partial_load
+
+        merged, loaded, _total = partial_load(
+            jax.device_get(self.state.d_params), source_d_params
+        )
+        self.state = self.state.replace(
+            d_params=jax.tree.map(
+                lambda x: jax.device_put(x), merged
+            )
+        )
+        self.state = shard_pytree_replicated(self.mesh, self.state)
+        self.log.info("warm-started discriminator: %d leaves loaded", loaded)
+        return loaded
+
     def evaluate_fid(self, num_samples: Optional[int] = None) -> float:
         num_samples = num_samples or self.cfg.run.fid_num_samples
         num_samples = min(num_samples, self.pipeline.num_samples)

@@ -93,3 +93,29 @@ class CheckpointManager:
             with open(path + ".json") as f:
                 meta = json.load(f)
         return state, meta
+
+
+def partial_load(target: Any, source: Any) -> Tuple[Any, int, int]:
+    """strict=False warm-start: copy every leaf whose path+shape matches.
+
+    The role of the reference's pretrained-ViT discriminator warm start
+    (ref:src/v2/modules.py:429-440, load_state_dict(strict=False)).  Returns
+    (merged_tree, n_loaded, n_total_target_leaves).
+    """
+    tpaths = {tuple(str(k) for k in p): v for p, v in
+              jax.tree_util.tree_flatten_with_path(target)[0]}
+    spaths = {tuple(str(k) for k in p): v for p, v in
+              jax.tree_util.tree_flatten_with_path(source)[0]}
+    loaded = 0
+    merged = {}
+    for path, tv in tpaths.items():
+        sv = spaths.get(path)
+        if sv is not None and getattr(sv, "shape", None) == getattr(tv, "shape", None):
+            merged[path] = sv
+            loaded += 1
+        else:
+            merged[path] = tv
+    leaves, treedef = jax.tree_util.tree_flatten(target)
+    ordered = [merged[tuple(str(k) for k in p)] for p, _ in
+               jax.tree_util.tree_flatten_with_path(target)[0]]
+    return jax.tree_util.tree_unflatten(treedef, ordered), loaded, len(leaves)
