@@ -11,7 +11,7 @@ from vitgan_tpu.models import build_gan, count_params
 from vitgan_tpu.models.vitgan_v1 import patch_geometry, extract_overlapping_patches
 from vitgan_tpu.models.vitgan_v2 import patchify, unpatchify
 
-FAMILIES = ["v1", "v2", "dcgan", "mlp"]
+FAMILIES = ["v1", "v2", "dcgan", "cnn", "mlp"]
 
 
 def smoke(family):

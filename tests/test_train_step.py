@@ -73,7 +73,7 @@ def test_accuracy_from_logits():
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("family", ["v1", "v2", "dcgan", "mlp"])
+@pytest.mark.parametrize("family", ["v1", "v2", "dcgan", "cnn", "mlp"])
 def test_one_train_step(family, rng):
     cfg = C.smoke_config(family)
     gan = build_gan(cfg)

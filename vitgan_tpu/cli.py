@@ -103,7 +103,7 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):
-        sp.add_argument("--family", choices=["v1", "v2", "dcgan", "mlp"], default="v2")
+        sp.add_argument("--family", choices=["v1", "v2", "dcgan", "cnn", "mlp"], default="v2")
         sp.add_argument("--dataset", choices=["cifar10", "mnist", "synthetic"], default=None)
         sp.add_argument("--epochs", type=int, default=None)
         sp.add_argument("--batch-size", type=int, default=None)

@@ -183,6 +183,29 @@ class DCGANConfig:
 
 
 @dataclass(frozen=True)
+class CNNGANConfig:
+    """v2 CNNGAN: conv G/D with image-shaped noise (ref:src/v2/modules.py:256-341,
+    ref:src/v2/training.py:35-42)."""
+
+    image_size: int = 32
+    channels: int = 3
+    batch_size: int = 64
+    seed: int = 0
+    gen_optim: OptimConfig = field(
+        default_factory=lambda: OptimConfig(name="adamw", learning_rate=5e-4,
+                                            beta1=0.9, weight_decay=1e-3)
+    )
+    disc_optim: OptimConfig = field(
+        default_factory=lambda: OptimConfig(name="adamw", learning_rate=5e-4,
+                                            beta1=0.9, weight_decay=1e-3)
+    )
+
+    @property
+    def latent_dim(self) -> int:
+        return self.image_size * self.image_size * self.channels
+
+
+@dataclass(frozen=True)
 class MLPGANConfig:
     image_size: int = 32
     channels: int = 3
@@ -254,10 +277,11 @@ class TrainRunConfig:
 class ExperimentConfig:
     """One full experiment: model family + data + runtime + trainer."""
 
-    family: str = "v2"  # v1 | v2 | dcgan | mlp
+    family: str = "v2"  # v1 | v2 | dcgan | cnn | mlp
     v1: V1Config = field(default_factory=V1Config)
     v2: V2Config = field(default_factory=V2Config)
     dcgan: DCGANConfig = field(default_factory=DCGANConfig)
+    cnn: CNNGANConfig = field(default_factory=CNNGANConfig)
     mlp: MLPGANConfig = field(default_factory=MLPGANConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
@@ -348,6 +372,7 @@ def smoke_config(family: str = "v2") -> ExperimentConfig:
             "v1.discriminator.token_size": 64,
             "dcgan.batch_size": 8,
             "dcgan.base_width": 16,
+            "cnn.batch_size": 4,  # conv widths are fixed by the reference; shrink batch only
             "mlp.batch_size": 8,
             "mlp.hidden": (32, 64),
             "run.epochs": 1,

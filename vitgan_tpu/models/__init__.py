@@ -21,12 +21,13 @@ from typing import Any, Callable, Tuple
 import jax
 
 from vitgan_tpu.config import ExperimentConfig
-from vitgan_tpu.models import dcgan, mlp_gan, vitgan_v1, vitgan_v2
+from vitgan_tpu.models import cnngan, dcgan, mlp_gan, vitgan_v1, vitgan_v2
 
 _FAMILIES = {
     "v1": vitgan_v1,
     "v2": vitgan_v2,
     "dcgan": dcgan,
+    "cnn": cnngan,
     "mlp": mlp_gan,
 }
 

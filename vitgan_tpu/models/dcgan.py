@@ -108,7 +108,9 @@ def generator_apply(variables, z, cfg: DCGANConfig, *, rng=None, train=False):
 
 
 # ---------------------------------------------------------------------------
-# Discriminator: 32 -> 16 -> 8 -> 4 -> 1 logit (ref:cnn/cnn-gan.ipynb cell 10)
+# Discriminator: 32 -> 16 -> 8 -> 4 -> 1 logit (ref:cnn/cnn-gan.ipynb cell 10;
+# identical topology to v1's unused CNN discriminator,
+# ref:src/v1/discriminatorCNN.py:7-23 — this module covers both)
 # ---------------------------------------------------------------------------
 
 
