@@ -1,0 +1,88 @@
+"""Parameter sharding rules: tensor parallelism over the mesh's ``model`` axis.
+
+The reference is single-device; TP here is the framework's scale-out path for
+wider models (SURVEY §2.5 table): attention heads and MLP hidden width are
+sharded over ``model`` while the batch shards over ``data``.  No hand-written
+collectives — parameters are placed with NamedShardings and XLA's SPMD
+partitioner inserts the all-reduces (row-sharded matmul outputs) over ICI.
+
+Rules (matched by parameter path):
+- ``qkv``   (3, H, D, Dh): heads H sharded -> per-device head groups
+- ``qkv_b`` (3, H, Dh):    heads sharded
+- attention ``out`` w (H*Dh, D): input rows sharded (contraction all-reduce)
+- ``fc1`` w (D, hidden) / b: hidden columns sharded
+- ``fc2`` w (hidden, D): hidden rows sharded (contraction all-reduce)
+Everything else is replicated.  ISR spectral state follows its qkv: sigma0/u
+are per-head, so they shard on the head axis with the weights.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _spec_for(path: tuple, leaf) -> P:
+    names = [str(getattr(k, "key", getattr(k, "name", k))) for k in path]
+    ndim = getattr(leaf, "ndim", 0)
+    joined = "/".join(names)
+    if names and names[-1] == "qkv" and ndim == 4:
+        return P(None, "model", None, None)
+    if names and names[-1] == "qkv_b" and ndim == 3:
+        return P(None, "model", None)
+    if "isr" in names and names[-1] in ("sigma0", "u"):
+        # (3, H) or (3, H, D): shard the head axis with the qkv weights.
+        return P(None, "model") if ndim == 2 else P(None, "model", None)
+    if len(names) >= 2 and names[-2] == "out" and names[-1] == "w" and ndim == 2:
+        return P("model", None)
+    if len(names) >= 2 and names[-2] == "fc1" and ndim == 2:
+        return P(None, "model")
+    if len(names) >= 2 and names[-2] == "fc1" and names[-1] == "b" and ndim == 1:
+        return P("model")
+    if len(names) >= 2 and names[-2] == "fc2" and names[-1] == "w" and ndim == 2:
+        return P("model", None)
+    return P()
+
+
+def _divisible(leaf, spec: P, mesh: Mesh) -> bool:
+    for dim, axis in enumerate(spec):
+        if axis is None:
+            continue
+        if leaf.shape[dim] % mesh.shape[axis] != 0:
+            return False
+    return True
+
+
+def tp_shardings(tree: Any, mesh: Mesh) -> Any:
+    """NamedSharding pytree for ``tree`` under the TP rules (replicated where a
+    rule's axis does not divide the dimension)."""
+
+    def one(path, leaf):
+        spec = _spec_for(path, leaf)
+        if spec != P() and not _divisible(leaf, spec, mesh):
+            spec = P()
+        return NamedSharding(mesh, spec)
+
+    flat = jax.tree_util.tree_flatten_with_path(tree)
+    leaves = [one(p, v) for p, v in flat[0]]
+    return jax.tree_util.tree_unflatten(flat[1], leaves)
+
+
+def shard_params_tp(tree: Any, mesh: Mesh) -> Any:
+    """Place a parameter pytree with TP shardings over the mesh."""
+    return jax.tree.map(jax.device_put, tree, tp_shardings(tree, mesh))
+
+
+def shard_train_state(state, mesh: Mesh, tensor_parallel: bool = False):
+    """Place a TrainState: batch-independent leaves replicated or TP-sharded.
+
+    Optimizer state mirrors the parameter shardings automatically because optax
+    states are pytrees with the same leaf shapes (moments) — they are placed
+    with the same rule set.
+    """
+    if not tensor_parallel or mesh.shape.get("model", 1) == 1:
+        repl = NamedSharding(mesh, P())
+        return jax.tree.map(lambda x: jax.device_put(x, repl), state)
+    return jax.tree.map(jax.device_put, state, tp_shardings(state, mesh))
