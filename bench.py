@@ -22,6 +22,9 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from vitgan_tpu import config as C  # noqa: E402
+from vitgan_tpu.ops.policy import enable_persistent_compilation_cache  # noqa: E402
+
+enable_persistent_compilation_cache()
 from vitgan_tpu.models import build_gan  # noqa: E402
 from vitgan_tpu.train import create_train_state  # noqa: E402
 from vitgan_tpu.train.step import make_multi_train_step  # noqa: E402

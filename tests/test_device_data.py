@@ -1,0 +1,59 @@
+"""Device-resident dataset training path: parity and trainer integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vitgan_tpu import config as C
+from vitgan_tpu.models import build_gan
+from vitgan_tpu.train import create_train_state, make_train_step
+from vitgan_tpu.train.step import make_device_data_train_fn
+
+
+def test_device_data_matches_host_path(rng):
+    cfg = C.smoke_config("mlp")
+    gan = build_gan(cfg)
+    state_a = create_train_state(rng, gan, cfg)
+    state_b = create_train_state(rng, gan, cfg)
+
+    dataset = np.random.default_rng(0).integers(0, 256, (40, 32, 32, 3), dtype=np.uint8)
+    idx = np.array([[0, 1, 2, 3, 4, 5, 6, 7], [8, 9, 10, 11, 12, 13, 14, 15]], np.int32)
+
+    single = make_train_step(gan, cfg, donate=False)
+    for row in idx:
+        real = dataset[row].astype(np.float32) * (2.0 / 255.0) - 1.0
+        state_a, m_host = single(state_a, jnp.asarray(real))
+
+    fn = make_device_data_train_fn(gan, cfg, 2, donate=False)
+    state_b, ms = fn(state_b, jax.device_put(dataset), jnp.asarray(idx))
+
+    np.testing.assert_allclose(float(ms["d_loss"][-1]), float(m_host["d_loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state_a.g_params), jax.tree.leaves(state_b.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+
+
+def test_trainer_on_device_path(tmp_path):
+    """Single-device mesh triggers the on-device dataset path, incl. remainder."""
+    from vitgan_tpu.parallel import make_mesh
+    from vitgan_tpu.train.trainer import Trainer
+
+    mesh = make_mesh(devices=jax.devices()[:1])
+    cfg = C.replace(
+        C.smoke_config("mlp"),
+        **{"run.steps_per_call": 2, "run.steps_per_epoch": 5, "run.fid_num_samples": 16,
+           "run.checkpoint_every_epochs": 0, "run_name": "ondev"},
+    )
+    tr = Trainer(cfg, mesh=mesh, run_base=str(tmp_path), fid_extractor="random_conv")
+    assert tr._device_dataset is not None
+    metrics = tr.fit(epochs=1)
+    assert int(tr.state.step) == 5  # 2+2+1 remainder
+    assert np.isfinite(metrics["d_loss"])
+
+
+def test_trainer_multi_device_uses_host_path(tmp_path, mesh8):
+    from vitgan_tpu.train.trainer import Trainer
+
+    cfg = C.replace(C.smoke_config("mlp"), run_name="hostpath")
+    tr = Trainer(cfg, mesh=mesh8, run_base=str(tmp_path), fid_extractor="random_conv")
+    assert tr._device_dataset is None

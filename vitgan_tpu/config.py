@@ -253,6 +253,10 @@ class DataConfig:
     prefetch: int = 2
     augment_flip: bool = False
     num_workers: int = 0  # >0 enables the native C++ decode path when built
+    # Keep the uint8 dataset resident in device HBM and assemble batches
+    # on-device (single-device meshes, datasets <= on_device_max_bytes).
+    on_device: bool = True
+    on_device_max_bytes: int = 1 << 29
 
 
 @dataclass(frozen=True)

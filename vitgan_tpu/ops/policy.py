@@ -46,3 +46,20 @@ def on_tpu() -> bool:
 def apply_from_runtime(runtime_cfg) -> None:
     """Configure from a RuntimeConfig (vitgan_tpu.config.RuntimeConfig)."""
     set_policy(mode=runtime_cfg.use_pallas, remat=runtime_cfg.remat)
+    enable_persistent_compilation_cache()
+
+
+def enable_persistent_compilation_cache() -> None:
+    """XLA compiles of the big scanned train steps take minutes; cache them
+    under $SCRATCH/jax_cache so every process after the first is instant."""
+    import os
+
+    from vitgan_tpu.config import scratch_root
+
+    try:
+        cache_dir = os.path.join(scratch_root(), "jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

@@ -172,6 +172,38 @@ def make_multi_train_step(gan: GANBundle, cfg: ExperimentConfig, n_steps: int,
     return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
 
+def make_device_data_train_fn(gan: GANBundle, cfg: ExperimentConfig, n_steps: int,
+                              donate: bool = True):
+    """Device-resident-dataset training: scan K updates with ON-DEVICE batch
+    assembly.
+
+    CIFAR-scale datasets (50k x 32x32x3 = 150 MB uint8) fit in HBM, so the
+    host->device image path disappears entirely: the uint8 dataset is placed on
+    device once, and each scanned step gathers its microbatch by indices,
+    normalizes to [-1,1], and (optionally) flips — all inside the jit region.
+    Call: fn(state, dataset_u8, indices (n_steps, B) int32) -> (state, metrics).
+    Only integer indices cross the host boundary per call.
+    """
+    inner = make_train_step(gan, cfg, donate=False)
+    raw_step = inner.__wrapped__
+    flip = cfg.data.augment_flip
+
+    def multi(state: TrainState, dataset_u8: jnp.ndarray, indices: jnp.ndarray):
+        def body(s, idx):
+            real_u8 = jnp.take(dataset_u8, idx, axis=0)
+            real = real_u8.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+            if flip:
+                krng = jax.random.fold_in(s.rng, 1)
+                do = jax.random.bernoulli(krng, 0.5, (real.shape[0], 1, 1, 1))
+                real = jnp.where(do, real[:, :, ::-1, :], real)
+            s2, m = raw_step(s, real)
+            return s2, m
+
+        return jax.lax.scan(body, state, indices)
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+
 def make_sample_fn(gan: GANBundle, cfg: ExperimentConfig):
     """Jitted eval-mode batched sampler (test-generation.py parity, SURVEY §3.3)."""
     dtype = _compute_dtype(cfg)

@@ -21,6 +21,7 @@ import time
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from vitgan_tpu.config import ExperimentConfig
@@ -59,6 +60,18 @@ class Trainer:
             from vitgan_tpu.train.step import make_multi_train_step
 
             self.multi_step = make_multi_train_step(
+                self.gan, cfg, self.steps_per_call, donate=cfg.runtime.donate_state
+            )
+        # Device-resident dataset: batches assembled on-chip, only indices cross
+        # the host boundary (single-device meshes; multi-device keeps the host
+        # pipeline whose batches are pre-sharded over the data axis).
+        self._device_dataset = None
+        if (cfg.data.on_device and self.mesh.devices.size == 1
+                and self.pipeline.images.nbytes <= cfg.data.on_device_max_bytes):
+            from vitgan_tpu.train.step import make_device_data_train_fn
+
+            self._device_dataset = jax.device_put(self.pipeline.images)
+            self._device_train_fn = make_device_data_train_fn(
                 self.gan, cfg, self.steps_per_call, donate=cfg.runtime.donate_state
             )
         self.sample_fn = make_sample_fn(self.gan, cfg)
@@ -181,6 +194,9 @@ class Trainer:
         microbatches into one scanned device call when configured."""
         import jax.numpy as jnp
 
+        if self._device_dataset is not None:
+            yield from self._epoch_steps_on_device(run)
+            return
         it = self.pipeline.epoch()
         if self.steps_per_call == 1:
             for i, (real, _labels) in enumerate(it):
@@ -203,6 +219,36 @@ class Trainer:
         for real in buf:  # remainder: single steps
             self.state, m = self.train_step(self.state, real)
             yield m, real.shape[0]
+
+    def _epoch_steps_on_device(self, run):
+        """Index-only epoch: permutation on host, gather/normalize/train on chip."""
+        b = self.cfg.model.batch_size
+        order = self.pipeline._epoch_order()
+        n_batches = len(order) // b
+        if run.steps_per_epoch:
+            n_batches = min(n_batches, run.steps_per_epoch)
+        idx = np.asarray(order[: n_batches * b], np.int32).reshape(n_batches, b)
+        k = self.steps_per_call
+        for start in range(0, n_batches - n_batches % k, k):
+            chunk = idx[start : start + k]
+            self.state, ms = self._device_train_fn(
+                self.state, self._device_dataset, jnp.asarray(chunk)
+            )
+            yield ({key: v.mean() for key, v in ms.items()}, k * b)
+        rem = n_batches % k
+        if rem:  # remainder: a lazily-compiled scan of the leftover length
+            if getattr(self, "_device_rem_len", None) != rem:
+                from vitgan_tpu.train.step import make_device_data_train_fn
+
+                self._device_rem_fn = make_device_data_train_fn(
+                    self.gan, self.cfg, rem, donate=self.cfg.runtime.donate_state
+                )
+                self._device_rem_len = rem
+            chunk = idx[n_batches - rem :]
+            self.state, ms = self._device_rem_fn(
+                self.state, self._device_dataset, jnp.asarray(chunk)
+            )
+            yield ({key: v.mean() for key, v in ms.items()}, rem * b)
 
     def fit(self, epochs: Optional[int] = None) -> Dict[str, float]:
         run = self.cfg.run
@@ -260,6 +306,7 @@ class Trainer:
                     " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items())),
                 )
                 last = means
+                self.epoch = epoch + 1  # so a later fit()/resume continues, not repeats
         finally:
             # Crash-safe epilogue (ref:src/v2/training.py:252-268, ref:main-v1.py:39-44).
             self.ckpts.save(int(self.state.step), jax.device_get(self.state),
