@@ -215,7 +215,7 @@ class Trainer:
                 self.state, ms = self.multi_step(self.state, jnp.stack(buf))
                 n = sum(b.shape[0] for b in buf)
                 buf = []
-                yield {k: v.mean() for k, v in ms.items()}, n
+                yield ms, n
         for real in buf:  # remainder: single steps
             self.state, m = self.train_step(self.state, real)
             yield m, real.shape[0]
@@ -229,12 +229,19 @@ class Trainer:
             n_batches = min(n_batches, run.steps_per_epoch)
         idx = np.asarray(order[: n_batches * b], np.int32).reshape(n_batches, b)
         k = self.steps_per_call
-        for start in range(0, n_batches - n_batches % k, k):
-            chunk = idx[start : start + k]
+        n_full_calls = (n_batches // k) * k
+        # ONE host->device transfer for the whole epoch's indices: per-call
+        # transfers each pay the device-link round trip (measured ~40ms on the
+        # tunneled chip).  Device-side slicing per call is free by comparison.
+        idx_dev = jax.device_put(idx[:n_full_calls].reshape(-1, k, b))
+        # Yield the per-call stacked metric arrays untouched: any reduction or
+        # host pull here would serialize tiny ops through the device link every
+        # call.  fit() batches one device_get per epoch.
+        for ci in range(n_full_calls // k):
             self.state, ms = self._device_train_fn(
-                self.state, self._device_dataset, jnp.asarray(chunk)
+                self.state, self._device_dataset, idx_dev[ci]
             )
-            yield ({key: v.mean() for key, v in ms.items()}, k * b)
+            yield ms, k * b
         rem = n_batches % k
         if rem:  # remainder: a lazily-compiled scan of the leftover length
             if getattr(self, "_device_rem_len", None) != rem:
@@ -248,7 +255,7 @@ class Trainer:
             self.state, ms = self._device_rem_fn(
                 self.state, self._device_dataset, jnp.asarray(chunk)
             )
-            yield ({key: v.mean() for key, v in ms.items()}, rem * b)
+            yield ms, rem * b
 
     def fit(self, epochs: Optional[int] = None) -> Dict[str, float]:
         run = self.cfg.run
@@ -270,12 +277,24 @@ class Trainer:
                     for k, v in m.items():
                         epoch_metrics.setdefault(k, []).append(v)
                     if run.log_every_steps and (i + 1) % run.log_every_steps == 0:
+                        lm = jax.device_get({"d": m["d_loss"], "g": m["g_loss"]})
                         self.log.info(
                             "epoch %d step %d | D %.4f G %.4f",
-                            epoch, i + 1, float(m["d_loss"]), float(m["g_loss"]),
+                            epoch, i + 1, float(np.mean(lm["d"])), float(np.mean(lm["g"])),
                         )
-                means = {k: float(np.mean([float(x) for x in v]))
-                         for k, v in epoch_metrics.items()}
+                # ONE device->host transfer per epoch: concatenate every metric
+                # series into a single device array first (a per-leaf device_get
+                # pays the link round trip per metric).
+                keys = sorted(epoch_metrics)
+                if keys:
+                    flat = jnp.stack([
+                        jnp.concatenate([jnp.atleast_1d(x) for x in epoch_metrics[k]])
+                        for k in keys
+                    ])
+                    vals = np.asarray(jax.device_get(flat))
+                    means = {k: float(vals[j].mean()) for j, k in enumerate(keys)}
+                else:
+                    means = {}
                 dt = time.time() - t0
                 means["images_per_sec"] = images_done / max(dt, 1e-9)
                 self.metrics.scalars(
