@@ -91,24 +91,28 @@ def _random_conv_params(key, channels: int, widths=(64, 128, 256, 512)):
     return params
 
 
+def random_conv_features(params, x_u8: jnp.ndarray, feature_dim: int = 512) -> jnp.ndarray:
+    """Pure feature fn of the fixed random conv net (jit/scan-able)."""
+    x = x_u8.astype(jnp.float32) / 127.5 - 1.0
+    for w in params:
+        x = jax.lax.conv_general_dilated(
+            x, w, window_strides=(2, 2), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        x = jax.nn.gelu(x)
+    x = jnp.mean(x, axis=(1, 2))
+    return x[:, :feature_dim]
+
+
 def make_random_conv_extractor(channels: int = 3, seed: int = 42,
                                feature_dim: int = 512) -> Callable[[np.ndarray], np.ndarray]:
     """Fixed random conv net: u8 images (N,H,W,C) -> (N, feature_dim) float32."""
     params = _random_conv_params(jax.random.PRNGKey(seed), channels)
-
-    @jax.jit
-    def features(x_u8):
-        x = x_u8.astype(jnp.float32) / 127.5 - 1.0
-        for w in params:
-            x = jax.lax.conv_general_dilated(
-                x, w, window_strides=(2, 2), padding="SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            x = jax.nn.gelu(x)
-        x = jnp.mean(x, axis=(1, 2))
-        return x[:, :feature_dim]
-
-    return lambda imgs: np.asarray(features(jnp.asarray(imgs)))
+    features = jax.jit(lambda x_u8: random_conv_features(params, x_u8, feature_dim))
+    fn = lambda imgs: np.asarray(features(jnp.asarray(imgs)))  # noqa: E731
+    fn.jax_params = params  # expose for the on-device FID path
+    fn.feature_dim = feature_dim
+    return fn
 
 
 def make_inception_extractor() -> Callable[[np.ndarray], np.ndarray]:
@@ -144,6 +148,64 @@ def make_feature_extractor(name: str = "auto", channels: int = 3):
         except Exception:
             return make_random_conv_extractor(channels)
     raise ValueError(f"unknown extractor {name!r}")
+
+
+# ---------------------------------------------------------------------------
+# On-device FID: features + Gaussian moments entirely on chip, ONE host pull
+# ---------------------------------------------------------------------------
+
+
+def make_on_device_fid(gan, cfg, extractor_params, batch_size: int,
+                       n_batches: int, feature_dim: int = 512):
+    """Build a jitted (g_vars, dataset_u8, real_idx, rng) -> moments function.
+
+    Real batches are gathered from the device-resident uint8 dataset; fake
+    batches are generated with fresh noise per batch (ref:src/v2/utils.py:160-164)
+    and quantized to uint8 like the host path.  Everything — generator forwards,
+    feature extraction, running moment sums — stays on device; the caller pulls
+    four small arrays once and finishes the Frechet math on host.
+    """
+    from vitgan_tpu.train.step import _compute_dtype
+
+    dtype = _compute_dtype(cfg)
+
+    def feats_of_u8(x_u8):
+        return random_conv_features(extractor_params, x_u8, feature_dim)
+
+    @jax.jit
+    def moments(g_vars, dataset_u8, real_idx, rng):
+        def real_body(carry, idx):
+            s, so = carry
+            f = feats_of_u8(jnp.take(dataset_u8, idx, axis=0)).astype(jnp.float32)
+            return (s + f.sum(0), so + f.T @ f), None
+
+        def fake_body(carry, i):
+            s, so = carry
+            z = gan.sample_latent(jax.random.fold_in(rng, i), batch_size).astype(dtype)
+            imgs, _ = gan.generator_apply(g_vars, z)
+            u8 = jnp.clip(jnp.round((imgs.astype(jnp.float32) + 1.0) * 127.5),
+                          0, 255).astype(jnp.uint8)
+            f = feats_of_u8(u8).astype(jnp.float32)
+            return (s + f.sum(0), so + f.T @ f), None
+
+        zero = (jnp.zeros((feature_dim,), jnp.float32),
+                jnp.zeros((feature_dim, feature_dim), jnp.float32))
+        (rs, rso), _ = jax.lax.scan(real_body, zero, real_idx)
+        (fs, fso), _ = jax.lax.scan(fake_body, zero, jnp.arange(n_batches))
+        return jnp.stack([rs, fs]), jnp.stack([rso, fso])
+
+    def compute(g_vars, dataset_u8, real_idx, rng) -> float:
+        sums, souters = jax.device_get(moments(g_vars, dataset_u8, real_idx, rng))
+        n = n_batches * batch_size
+        out = []
+        for s, so in zip(sums, souters):
+            mu = s.astype(np.float64) / n
+            cov = (so.astype(np.float64) - n * np.outer(mu, mu)) / (n - 1)
+            out.append((mu, cov))
+        (mu_r, cov_r), (mu_f, cov_f) = out
+        return frechet_distance(mu_r, cov_r, mu_f, cov_f)
+
+    return compute
 
 
 # ---------------------------------------------------------------------------

@@ -170,6 +170,23 @@ class Trainer:
     def evaluate_fid(self, num_samples: Optional[int] = None) -> float:
         num_samples = num_samples or self.cfg.run.fid_num_samples
         num_samples = min(num_samples, self.pipeline.num_samples)
+        b = self.cfg.model.batch_size
+        # On-device FID when the dataset is chip-resident and the extractor is
+        # the JAX one: a single device call + one small host pull.
+        if self._device_dataset is not None and hasattr(self.extractor, "jax_params"):
+            n_batches = max(1, num_samples // b)
+            if getattr(self, "_fid_n_batches", None) != n_batches:
+                self._fid_fn = FID.make_on_device_fid(
+                    self.gan, self.cfg, self.extractor.jax_params, b, n_batches,
+                    self.extractor.feature_dim,
+                )
+                self._fid_n_batches = n_batches
+            rng_np = np.random.default_rng(int(self.state.step))
+            real_idx = rng_np.choice(self.pipeline.num_samples,
+                                     size=(n_batches, b), replace=False).astype(np.int32)
+            return self._fid_fn(self.state.g_vars, self._device_dataset,
+                                jnp.asarray(real_idx),
+                                jax.random.PRNGKey(int(self.state.step)))
 
         def sample_batch(rng, n):
             z = self.gan.sample_latent(rng, n)
@@ -178,8 +195,7 @@ class Trainer:
         real_batches = (np.asarray(x) for x, _ in self.pipeline.epoch())
         return FID.compute_fid(
             sample_batch, real_batches, self.extractor,
-            jax.random.PRNGKey(int(self.state.step)), num_samples,
-            self.cfg.model.batch_size,
+            jax.random.PRNGKey(int(self.state.step)), num_samples, b,
         )
 
     # ------------------------------------------------------------------ loop
@@ -334,6 +350,10 @@ class Trainer:
             self.metrics.save_figures(self.dirs.images)
             try:
                 self._save_grids(self.epoch)
+                from vitgan_tpu.utils.images import save_training_gif
+
+                save_training_gif(self.dirs.images,
+                                  f"{self.dirs.images}/training_progress.gif")
             except Exception:
                 pass
             self.log.info("training finished in %.1fs", time.time() - t_start)

@@ -54,3 +54,24 @@ def save_png(path: str, image_hwc: np.ndarray) -> None:
 
 def save_image_grid(path: str, images: np.ndarray, nrow: Optional[int] = None) -> None:
     save_png(path, make_grid(images, nrow=nrow))
+
+
+def save_training_gif(images_dir: str, out_path: str, duration_ms: int = 200) -> bool:
+    """Animate the per-epoch sample grids into a GIF (the reference notebook's
+    training-progress animation, ref:cnn/cnn-gan.ipynb cell 12 tail).
+
+    Returns False when PIL is unavailable or no frames exist.
+    """
+    import glob
+
+    try:
+        from PIL import Image
+    except Exception:
+        return False
+    frames = sorted(glob.glob(os.path.join(images_dir, "epoch_*.png")))
+    if not frames:
+        return False
+    imgs = [Image.open(f) for f in frames]
+    imgs[0].save(out_path, save_all=True, append_images=imgs[1:],
+                 duration=duration_ms, loop=0)
+    return True
