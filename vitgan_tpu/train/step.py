@@ -77,9 +77,10 @@ def make_train_step(gan: GANBundle, cfg: ExperimentConfig, donate: bool = True):
                 {"params": d_params, "state": d_state1}, d_fake_in, rng=k_d_fake, train=True
             )
             if use_wgan:
+                k_gp_eps, k_gp_drop = jax.random.split(k_gp)
                 gp = LO.gradient_penalty(
-                    lambda x: gan.discriminator_apply(dv, x, rng=k_gp, train=True)[0],
-                    d_real_in, d_fake_in, k_gp,
+                    lambda x: gan.discriminator_apply(dv, x, rng=k_gp_drop, train=True)[0],
+                    d_real_in, d_fake_in, k_gp_eps,
                 )
                 loss = LO.wasserstein_d_loss(real_logits, fake_logits) + mcfg.gp_lambda * gp
                 loss_real = -jnp.mean(real_logits.astype(jnp.float32))
