@@ -103,7 +103,7 @@ class DiscriminatorV1Config:
     # = 432 at defaults), the width the reference sizes its transformer by
     # (ref:src/v1/discriminatorViT.py:24-27).
     token_size: Optional[int] = None
-    embed_dropout: float = 0.1
+    embed_dropout: float = 0.0  # EncoderParameters.dropout_rate default (ref:src/v1/config.py:23)
     transformer: TransformerConfig = field(default_factory=TransformerConfig)
     spectral_rescale: bool = True  # ISR (ref:src/v1/attention.py:37-64)
     optim: OptimConfig = field(default_factory=lambda: OptimConfig(learning_rate=2e-4))

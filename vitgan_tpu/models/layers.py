@@ -79,7 +79,8 @@ def pick_activation(name: str):
     """Activation picker parity (ref:src/v1/muilti_layer_perceptron.py:7-15)."""
     return {
         "relu": jax.nn.relu,
-        "gelu": jax.nn.gelu,
+        # exact erf form — torch nn.GELU default (the reference's GELUs)
+        "gelu": partial(jax.nn.gelu, approximate=False),
         "tanh": jnp.tanh,
         "sigmoid": jax.nn.sigmoid,
         "leaky_relu": partial(jax.nn.leaky_relu, negative_slope=0.2),

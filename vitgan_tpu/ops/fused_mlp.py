@@ -28,7 +28,8 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 _ACTS = {
-    "gelu": jax.nn.gelu,
+    # exact erf form to match torch nn.GELU (and models/layers.pick_activation)
+    "gelu": functools.partial(jax.nn.gelu, approximate=False),
     "relu": jax.nn.relu,
     "tanh": jnp.tanh,
     "sigmoid": jax.nn.sigmoid,
