@@ -27,9 +27,28 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _erf_poly(x):
+    """erf via the Abramowitz-Stegun 7.1.26 polynomial (|err| < 1.5e-7).
+
+    Mosaic has no erf/erfc lowering, so the kernel computes it from exp —
+    keeping the exact-GELU semantics of the XLA path within float32 noise.
+    """
+    a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    p = 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exactish(x):
+    return 0.5 * x * (1.0 + _erf_poly(x * 0.7071067811865476))
+
+
 _ACTS = {
-    # exact erf form to match torch nn.GELU (and models/layers.pick_activation)
-    "gelu": functools.partial(jax.nn.gelu, approximate=False),
+    # erf-form GELU to match torch nn.GELU (erf computed in-kernel, see above)
+    "gelu": _gelu_exactish,
     "relu": jax.nn.relu,
     "tanh": jnp.tanh,
     "sigmoid": jax.nn.sigmoid,
