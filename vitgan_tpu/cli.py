@@ -93,7 +93,8 @@ def cmd_sweep(args) -> int:
     from vitgan_tpu.hpo.sweep import run_sweep
 
     best = run_sweep(num_trials=args.num_trials, epochs_per_trial=args.epochs or 1,
-                     seed=args.seed or 0, dataset=args.dataset or "synthetic")
+                     seed=args.seed or 0, dataset=args.dataset or "synthetic",
+                     trial_offset=args.trial_offset, trial_stride=args.trial_stride)
     print(json.dumps(best, indent=2, default=str))
     return 0
 
@@ -128,6 +129,10 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("sweep", help="hyperparameter sweep (Ray-free)")
     common(s)
     s.add_argument("--num-trials", type=int, default=10)
+    s.add_argument("--trial-offset", type=int, default=0,
+                   help="this host's slice of the trial sequence")
+    s.add_argument("--trial-stride", type=int, default=1,
+                   help="total hosts sharing the sweep")
     s.set_defaults(fn=cmd_sweep)
     return p
 

@@ -51,8 +51,15 @@ def _trial_config(base, trial: Dict[str, Any]):
 
 def run_sweep(num_trials: int = 10, epochs_per_trial: int = 1, seed: int = 0,
               dataset: str = "synthetic", base_cfg=None,
-              run_base: Optional[str] = None) -> Dict[str, Any]:
-    """Random search; returns the best trial {params, fid}. Results JSONL per trial."""
+              run_base: Optional[str] = None,
+              trial_offset: int = 0, trial_stride: int = 1) -> Dict[str, Any]:
+    """Random search; returns the best trial {params, fid}. Results JSONL per trial.
+
+    Multi-host trial parallelism (the role Ray played, SURVEY §2.5): every host
+    draws the SAME seeded trial sequence and runs the slice
+    ``i % trial_stride == trial_offset``; results land in per-trial JSONL lines
+    that a coordinator can merge.
+    """
     from vitgan_tpu import config as C
     from vitgan_tpu.train.trainer import Trainer
 
@@ -67,7 +74,9 @@ def run_sweep(num_trials: int = 10, epochs_per_trial: int = 1, seed: int = 0,
     os.makedirs(out_dir, exist_ok=True)
     log_path = os.path.join(out_dir, "sweep_results.jsonl")
     for i in range(num_trials):
-        trial = sample_search_space(rng)
+        trial = sample_search_space(rng)  # drawn by every host for determinism
+        if i % max(1, trial_stride) != trial_offset:
+            continue
         cfg = C.replace(_trial_config(base, trial), run_name=f"trial_{i:03d}")
         trainer = Trainer(cfg, run_base=out_dir, fid_extractor="random_conv")
         metrics = trainer.fit(epochs=epochs_per_trial)
@@ -77,6 +86,8 @@ def run_sweep(num_trials: int = 10, epochs_per_trial: int = 1, seed: int = 0,
         results.append(rec)
         with open(log_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+    if not results:
+        return {"trial": None, "params": None, "fid": float("inf")}
     best = min(results, key=lambda r: r["fid"] if math.isfinite(r["fid"]) else 1e18)
     with open(os.path.join(out_dir, "best_config.json"), "w") as f:
         json.dump(best, f, indent=2)
