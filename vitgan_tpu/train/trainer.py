@@ -78,8 +78,11 @@ class Trainer:
         self._extractor_name = fid_extractor
         self._extractor = None
         key = jax.random.PRNGKey(m.seed)
-        self.state = shard_pytree_replicated(
-            self.mesh, create_train_state(key, self.gan, cfg)
+        from vitgan_tpu.parallel.sharding import shard_train_state
+
+        self.state = shard_train_state(
+            create_train_state(key, self.gan, cfg), self.mesh,
+            tensor_parallel=cfg.mesh.model_parallel > 1,
         )
         # Fixed noise for comparable per-epoch grids (ref:cnn/cnn-gan.ipynb cell 12 convention).
         self.eval_noise = self.gan.sample_latent(jax.random.PRNGKey(m.seed + 1),
