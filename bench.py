@@ -27,7 +27,7 @@ from vitgan_tpu.ops.policy import enable_persistent_compilation_cache  # noqa: E
 enable_persistent_compilation_cache()
 from vitgan_tpu.models import build_gan  # noqa: E402
 from vitgan_tpu.train import create_train_state  # noqa: E402
-from vitgan_tpu.train.step import make_multi_train_step  # noqa: E402
+from vitgan_tpu.train.step import make_device_data_train_fn  # noqa: E402
 
 
 def main():
@@ -40,23 +40,27 @@ def main():
     gan = build_gan(cfg)
     rng = jax.random.PRNGKey(0)
     state = create_train_state(rng, gan, cfg)
-    # Scanned multi-step: identical sequential G/D updates, one device call per
-    # scan_steps microbatches (vitgan_tpu.train.step.make_multi_train_step).
-    step = make_multi_train_step(gan, cfg, scan_steps, donate=False)
+    # Production path: device-resident uint8 dataset, scanned multi-step with
+    # on-device batch assembly — identical sequential G/D updates, one device
+    # call per scan_steps microbatches, only int32 indices cross the host
+    # boundary (vitgan_tpu.train.step.make_device_data_train_fn).
+    step = make_device_data_train_fn(gan, cfg, scan_steps, donate=False)
 
-    reals = jax.device_put(
-        np.random.default_rng(0)
-        .uniform(-1, 1, (scan_steps, batch, 32, 32, 3))
-        .astype(np.float32)
+    host_rng = np.random.default_rng(0)
+    dataset = jax.device_put(
+        host_rng.integers(0, 256, (4096, 32, 32, 3), dtype=np.uint8)
+    )
+    idx = jax.device_put(
+        host_rng.integers(0, 4096, (n_calls, scan_steps, batch)).astype(np.int32)
     )
 
     # Warmup / compile.
-    state, metrics = step(state, reals)
+    state, metrics = step(state, dataset, idx[0])
     jax.block_until_ready(metrics["d_loss"])
 
     t0 = time.perf_counter()
-    for _ in range(n_calls):
-        state, metrics = step(state, reals)
+    for c in range(n_calls):
+        state, metrics = step(state, dataset, idx[c])
     jax.block_until_ready(metrics["d_loss"])
     dt = time.perf_counter() - t0
 

@@ -350,6 +350,7 @@ class Trainer:
             self.ckpts.save(int(self.state.step), jax.device_get(self.state),
                             {"epoch": self.epoch + 1, "best_metric": self.best_metric,
                              "final": True})
+            self.ckpts.wait()  # the final save must be durable before we return
             self.metrics.save_figures(self.dirs.images)
             try:
                 self._save_grids(self.epoch)

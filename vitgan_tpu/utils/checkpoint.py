@@ -33,9 +33,11 @@ class CheckpointManager:
         return os.path.join(self.directory, f"step_{step:010d}")
 
     def save(self, step: int, state: Any, metadata: Optional[Dict[str, Any]] = None) -> str:
+        """Async save: returns once the write is dispatched; completion is awaited
+        before any subsequent save/restore (training never blocks on IO)."""
+        self._ckptr.wait_until_finished()
         path = self._path(step)
         self._ckptr.save(path, state, force=True)
-        self._ckptr.wait_until_finished()
         with open(path + ".json", "w") as f:
             json.dump({"step": step, **(metadata or {})}, f)
         self._retain()
@@ -44,13 +46,16 @@ class CheckpointManager:
     def save_best(self, step: int, state: Any, metric_name: str, metric_value: float,
                   metadata: Optional[Dict[str, Any]] = None) -> str:
         """Best-model checkpoint keyed on a named criterion (ref:src/v1/gan.py:77,136-138)."""
+        self._ckptr.wait_until_finished()
         path = os.path.join(self.directory, "best")
         self._ckptr.save(path, state, force=True)
-        self._ckptr.wait_until_finished()
         with open(path + ".json", "w") as f:
             json.dump({"step": step, "metric": metric_name, "value": metric_value,
                        **(metadata or {})}, f)
         return path
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
 
     def _retain(self) -> None:
         steps = self.all_steps()
@@ -79,6 +84,7 @@ class CheckpointManager:
     def restore(self, target: Any, step: Optional[int] = None,
                 best: bool = False) -> Tuple[Any, Dict[str, Any]]:
         """Restore into the structure of ``target`` (an abstract or concrete state)."""
+        self._ckptr.wait_until_finished()  # an async save may still be in flight
         if best:
             path = os.path.join(self.directory, "best")
         else:
