@@ -98,6 +98,7 @@ def test_checkpoint_retention_and_latest(tmp_path, rng):
     mgr = CheckpointManager(str(tmp_path), keep=2)
     for s in (1, 2, 3, 4):
         mgr.save(s, state)
+    mgr.wait()  # saves are async; settle before inspecting the directory
     assert mgr.all_steps() == [3, 4]
     assert mgr.latest_step() == 4
 

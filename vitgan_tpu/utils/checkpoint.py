@@ -40,7 +40,7 @@ class CheckpointManager:
         self._ckptr.save(path, state, force=True)
         with open(path + ".json", "w") as f:
             json.dump({"step": step, **(metadata or {})}, f)
-        self._retain()
+        self._retain(in_flight=step)
         return path
 
     def save_best(self, step: int, state: Any, metric_name: str, metric_value: float,
@@ -57,9 +57,11 @@ class CheckpointManager:
     def wait(self) -> None:
         self._ckptr.wait_until_finished()
 
-    def _retain(self) -> None:
-        steps = self.all_steps()
-        for s in steps[: max(0, len(steps) - self.keep)]:
+    def _retain(self, in_flight: Optional[int] = None) -> None:
+        # The just-dispatched async save may not be on disk yet; count it.
+        steps = sorted(set(self.all_steps()) | ({in_flight} if in_flight is not None else set()))
+        steps = [s for s in steps[: max(0, len(steps) - self.keep)] if s != in_flight]
+        for s in steps:
             p = self._path(s)
             import shutil
 
