@@ -32,7 +32,7 @@ from vitgan_tpu.train.step import make_device_data_train_fn  # noqa: E402
 
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "64"))
-    scan_steps = int(os.environ.get("BENCH_SCAN", "16"))
+    scan_steps = int(os.environ.get("BENCH_SCAN", "64"))
     n_calls = int(os.environ.get("BENCH_CALLS", "10"))
     cfg = C.ExperimentConfig(family="v2", data=C.DataConfig(dataset="synthetic"))
     cfg = C.replace(cfg, **{"v2.batch_size": batch})
@@ -63,6 +63,8 @@ def main():
         state, metrics = step(state, dataset, idx[c])
     jax.block_until_ready(metrics["d_loss"])
     dt = time.perf_counter() - t0
+    assert np.isfinite(np.asarray(metrics["d_loss"])).all(), "non-finite D loss"
+    assert np.isfinite(np.asarray(metrics["g_loss"])).all(), "non-finite G loss"
 
     n_chips = max(1, len(jax.devices()))
     ips_per_chip = batch * scan_steps * n_calls / dt / n_chips
