@@ -43,28 +43,35 @@ def _ceil_to(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, score_mode: str, inv_scale: float,
-                  block_k: int, seq_len: int):
-    """One (batch*head, q-block) program: online softmax over k blocks."""
+def _scores_block(q, qq, k_blk, score_mode: str, inv_scale: float):
+    """Pre-softmax scores for one (Bq, Bk) tile; f32 on the MXU."""
+    qk = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+    if score_mode == "dot":
+        return qk * inv_scale
+    kk = jnp.sum(k_blk * k_blk, axis=-1)[None, :]
+    d2 = jnp.maximum(qq + kk - 2.0 * qk, 0.0)
+    return (-d2 * inv_scale) if score_mode == "l2" else (jnp.sqrt(d2 + 1e-12) * inv_scale)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, score_mode: str,
+                  inv_scale: float, block_k: int, seq_len: int):
+    """One (batch*head, q-block) program: online softmax over k blocks.
+
+    Also writes the per-row log-sum-exp so the backward kernels can recompute
+    the probabilities without a second softmax pass.
+    """
     q = q_ref[0].astype(jnp.float32)            # (Bq, D)
     block_q, d = q.shape
     n_padded = k_ref.shape[1]
     num_kb = n_padded // block_k
 
-    if score_mode in ("l2", "l2ref"):
-        qq = jnp.sum(q * q, axis=-1, keepdims=True)  # (Bq, 1)
+    qq = jnp.sum(q * q, axis=-1, keepdims=True) if score_mode in ("l2", "l2ref") else None
 
     def body(kb, carry):
         acc, m_i, l_i = carry
         k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        qk = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # (Bq, Bk)
-        if score_mode == "dot":
-            s = qk * inv_scale
-        else:
-            kk = jnp.sum(k_blk * k_blk, axis=-1)[None, :]
-            d2 = jnp.maximum(qq + kk - 2.0 * qk, 0.0)
-            s = (-d2 * inv_scale) if score_mode == "l2" else (jnp.sqrt(d2 + 1e-12) * inv_scale)
+        s = _scores_block(q, qq, k_blk, score_mode, inv_scale)
         # Mask padded keys.
         key_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(key_ids < seq_len, s, NEG_INF)
@@ -81,27 +88,40 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, score_mode: str, inv_scale: flo
     l_i = jnp.zeros((block_q, 1), jnp.float32)
     acc, m_i, l_i = jax.lax.fori_loop(0, num_kb, body, (acc, m_i, l_i))
     o_ref[0] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
+    # Row vectors live sublane-replicated as (8, block) tiles — Mosaic requires
+    # the trailing block dims to be (8k, 128k)-aligned.
+    lse_row = (m_i + jnp.log(jnp.maximum(l_i, 1e-30)))[:, 0]
+    lse_ref[0] = jnp.broadcast_to(lse_row[None, :], (8, lse_row.shape[0]))
 
 
-def _flash_forward(q, k, v, score_mode: str, scale: float, block_q: int, block_k: int,
-                   interpret: bool):
+def _pad_qkv(q, k, v, block_q: int, block_k: int):
     b, h, n, d = q.shape
-    inv_scale = 1.0 / math.sqrt(scale)
     d_pad = _ceil_to(d, 128)
     n_pad = _ceil_to(n, max(block_q, block_k))
     pad_spec = ((0, 0), (0, 0), (0, n_pad - n), (0, d_pad - d))
     qp = jnp.pad(q, pad_spec).reshape(b * h, n_pad, d_pad)
     kp = jnp.pad(k, pad_spec).reshape(b * h, n_pad, d_pad)
     vp = jnp.pad(v, pad_spec).reshape(b * h, n_pad, d_pad)
+    return qp, kp, vp, n_pad, d_pad
+
+
+def _flash_forward(q, k, v, score_mode: str, scale: float, block_q: int, block_k: int,
+                   interpret: bool, with_lse: bool = False):
+    b, h, n, d = q.shape
+    inv_scale = 1.0 / math.sqrt(scale)
+    qp, kp, vp, n_pad, d_pad = _pad_qkv(q, k, v, block_q, block_k)
 
     grid = (b * h, n_pad // block_q)
     kernel = functools.partial(
         _flash_kernel, score_mode=score_mode, inv_scale=inv_scale,
         block_k=block_k, seq_len=n,
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 8, n_pad), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d_pad), lambda bh, qi: (bh, qi, 0),
@@ -111,11 +131,174 @@ def _flash_forward(q, k, v, score_mode: str, scale: float, block_q: int, block_k
             pl.BlockSpec((1, n_pad, d_pad), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda bh, qi: (bh, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    out = out.reshape(b, h, n_pad, d_pad)[:, :, :n, :d]
+    if with_lse:
+        return out, lse[:, 0, :].reshape(b, h, n_pad)[:, :, :n]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Flash backward kernels (dq; dk+dv) for 'dot' and 'l2' score modes
+# ---------------------------------------------------------------------------
+#
+# Standard two-pass flash backward with saved log-sum-exp:
+#   p_ij  = exp(s_ij - lse_i)
+#   dp_ij = dO_i . v_j
+#   ds_ij = p_ij (dp_ij - delta_i),   delta_i = dO_i . O_i
+# score gradients:
+#   dot: s = inv * q k^T          -> dq_i += inv * ds @ K;  dk_j += inv * ds^T @ Q
+#   l2:  s = -inv * ||q - k||^2   -> dq_i += 2 inv (ds @ K - rowsum(ds) q_i)
+#                                     dk_j += 2 inv (ds^T @ Q - colsum(ds) k_j)
+# ('l2ref' keeps the chunked-recompute backward: its sqrt makes the chain rule
+#  singular at d2=0 and it is a parity mode, not a performance path.)
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
+                         score_mode: str, inv_scale: float, block_k: int, seq_len: int):
+    q = q_ref[0].astype(jnp.float32)          # (Bq, D)
+    do = do_ref[0].astype(jnp.float32)        # (Bq, D)
+    lse = lse_ref[0, 0, :][:, None]           # sublane-replicated rows -> (Bq, 1)
+    delta = delta_ref[0, 0, :][:, None]       # (Bq, 1)
+    num_kb = k_ref.shape[1] // block_k
+    qq = jnp.sum(q * q, axis=-1, keepdims=True) if score_mode == "l2" else None
+
+    def body(kb, carry):
+        dq, ds_rowsum = carry
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = _scores_block(q, qq, k_blk, score_mode, inv_scale)
+        key_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_ids < seq_len, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dq = dq + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
+        return dq, ds_rowsum + jnp.sum(ds, axis=-1, keepdims=True)
+
+    dq0 = jnp.zeros_like(q)
+    rs0 = jnp.zeros((q.shape[0], 1), jnp.float32)
+    dq, ds_rowsum = jax.lax.fori_loop(0, num_kb, body, (dq0, rs0))
+    if score_mode == "dot":
+        dq_ref[0] = (inv_scale * dq).astype(dq_ref.dtype)
+    else:  # l2
+        dq_ref[0] = (2.0 * inv_scale * (dq - ds_rowsum * q)).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, *, score_mode: str, inv_scale: float,
+                          block_q: int, seq_len: int):
+    k_blk = k_ref[0].astype(jnp.float32)      # (Bk, D)
+    v_blk = v_ref[0].astype(jnp.float32)      # (Bk, D)
+    num_qb = q_ref.shape[1] // block_q
+    kk = jnp.sum(k_blk * k_blk, axis=-1)[None, :] if score_mode == "l2" else None
+
+    def body(qb, carry):
+        dk, dv, ds_colsum = carry
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+        qk = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        if score_mode == "dot":
+            s = qk * inv_scale
+        else:
+            qq = jnp.sum(q * q, axis=-1, keepdims=True)
+            s = -jnp.maximum(qq + kk - 2.0 * qk, 0.0) * inv_scale
+        key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_ids < seq_len, s, NEG_INF)
+        # Padded q rows have lse=0 from the fwd pad; mask their p to 0.
+        row_ids = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        p = jnp.where(row_ids < seq_len, jnp.exp(s - lse), 0.0)
+        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        return dk, dv, ds_colsum + jnp.sum(ds, axis=0)[:, None]
+
+    z = jnp.zeros_like(k_blk)
+    cs0 = jnp.zeros((k_blk.shape[0], 1), jnp.float32)
+    dk, dv, ds_colsum = jax.lax.fori_loop(0, num_qb, body, (z, z, cs0))
+    if score_mode == "dot":
+        dk_ref[0] = (inv_scale * dk).astype(dk_ref.dtype)
+    else:
+        dk_ref[0] = (2.0 * inv_scale * (dk - ds_colsum * k_blk)).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, out, lse, g, score_mode: str, scale: float,
+                    block_q: int, block_k: int, interpret: bool):
+    b, h, n, d = q.shape
+    inv_scale = 1.0 / math.sqrt(scale)
+    qp, kp, vp, n_pad, d_pad = _pad_qkv(q, k, v, block_q, block_k)
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, n_pad - n), (0, d_pad - d))).reshape(
+        b * h, n_pad, d_pad)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, n_pad - n))).reshape(b * h, 1, n_pad)
+    delta = jnp.broadcast_to(delta, (b * h, 8, n_pad))
+    lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, n_pad - n))).reshape(b * h, 1, n_pad)
+    lse_p = jnp.broadcast_to(lse_p, (b * h, 8, n_pad))
+
+    full_spec = pl.BlockSpec((1, n_pad, d_pad), lambda bh, i: (bh, 0, 0),
+                             memory_space=pltpu.VMEM)
+    full_row = pl.BlockSpec((1, 8, n_pad), lambda bh, i: (bh, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, score_mode=score_mode,
+                          inv_scale=inv_scale, block_k=block_k, seq_len=n),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
+        grid=(b * h, n_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            full_spec, full_spec,
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda bh, qi: (bh, 0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda bh, qi: (bh, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((1, block_q, d_pad), lambda bh, qi: (bh, qi, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(qp, kp, vp)
-    return out.reshape(b, h, n_pad, d_pad)[:, :, :n, :d]
+    )(qp, kp, vp, gp, lse_p, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, score_mode=score_mode,
+                          inv_scale=inv_scale, block_q=block_q, seq_len=n),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, n_pad, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((b * h, n_pad, d_pad), v.dtype),
+        ),
+        grid=(b * h, n_pad // block_k),
+        in_specs=[
+            full_spec,
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            full_spec, full_row, full_row,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse_p, delta)
+
+    unpad = lambda x: x.reshape(b, h, n_pad, d_pad)[:, :, :n, :d]  # noqa: E731
+    return unpad(dq), unpad(dk), unpad(dv)
 
 
 # ---------------------------------------------------------------------------
@@ -166,27 +349,44 @@ def attention_chunked(q, k, v, score_mode: str, scale: float, chunk: int = 256):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def flash_attention(q, k, v, score_mode: str = "dot", scale: Optional[float] = None,
-                    block_q: int = 128, block_k: int = 128, interpret: bool = False):
-    """(B, H, N, D) q/k/v -> (B, H, N, D) attention output."""
+def _flash_attention_vjp(q, k, v, score_mode: str, scale: Optional[float],
+                         block_q: int, block_k: int, interpret: bool):
     scale = float(scale if scale is not None else q.shape[-1])
     return _flash_forward(q, k, v, score_mode, scale, block_q, block_k, interpret)
 
 
+def flash_attention(q, k, v, score_mode: str = "dot", scale: Optional[float] = None,
+                    block_q: int = 512, block_k: int = 512, interpret: bool = False):
+    """(B, H, N, D) q/k/v -> (B, H, N, D) attention output.
+
+    Default 512 blocks: measured fastest fwd+bwd on v5e at 4k tokens (58-62 ms
+    vs 88-93 ms at 128); clamped to the padded sequence for short inputs.
+    """
+    n_ceil = _ceil_to(q.shape[-2], 128)
+    return _flash_attention_vjp(q, k, v, score_mode, scale,
+                                min(block_q, n_ceil), min(block_k, n_ceil), interpret)
+
+
 def _fwd(q, k, v, score_mode, scale, block_q, block_k, interpret):
-    out = flash_attention(q, k, v, score_mode, scale, block_q, block_k, interpret)
-    return out, (q, k, v)
+    scale_f = float(scale if scale is not None else q.shape[-1])
+    out, lse = _flash_forward(q, k, v, score_mode, scale_f, block_q, block_k,
+                              interpret, with_lse=True)
+    return out, (q, k, v, out, lse)
 
 
 def _bwd(score_mode, scale, block_q, block_k, interpret, residuals, g):
-    q, k, v = residuals
+    q, k, v, out, lse = residuals
     scale_f = float(scale if scale is not None else q.shape[-1])
+    if score_mode in ("dot", "l2"):
+        return _flash_backward(q, k, v, out, lse, g, score_mode, scale_f,
+                               block_q, block_k, interpret)
+    # 'l2ref' (sqrt-distance quirk mode): chunked-recompute backward.
     _, vjp = jax.vjp(lambda q, k, v: attention_chunked(q, k, v, score_mode, scale_f),
                      q, k, v)
     return vjp(g)
 
 
-flash_attention.defvjp(_fwd, _bwd)
+_flash_attention_vjp.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -326,11 +326,14 @@ class Trainer:
                     fid_val = self.evaluate_fid()
                     means["fid"] = fid_val
                     self.metrics.scalar("eval/fid", fid_val, int(self.state.step))
-                    if fid_val < self.best_metric:
-                        self.best_metric = fid_val
+                    # Best-model tracking on a NAMED criterion (default fid),
+                    # the role of ref:src/v1/gan.py:77,136-138.
+                    crit = means.get(run.best_metric, fid_val)
+                    if crit < self.best_metric:
+                        self.best_metric = crit
                         self.ckpts.save_best(
                             int(self.state.step), jax.device_get(self.state),
-                            run.best_metric, fid_val, {"epoch": epoch},
+                            run.best_metric, crit, {"epoch": epoch},
                         )
                     if self._early is not None and self._early.step(fid_val):
                         self.log.info("early stopping at epoch %d (FID %.3f)", epoch, fid_val)

@@ -56,6 +56,22 @@ def save_image_grid(path: str, images: np.ndarray, nrow: Optional[int] = None) -
     save_png(path, make_grid(images, nrow=nrow))
 
 
+def display_images(images: np.ndarray, nrow: Optional[int] = None, title: str = "") -> None:
+    """Interactive grid viewer (ref:src/v1/utils.py:31-73 display_images/display_images_v2
+    role).  Headless-safe: falls back to saving nothing if no display backend."""
+    try:
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    grid = make_grid(images, nrow=nrow)
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.imshow(grid)
+    ax.set_axis_off()
+    if title:
+        ax.set_title(title)
+    plt.show()
+
+
 def save_training_gif(images_dir: str, out_path: str, duration_ms: int = 200) -> bool:
     """Animate the per-epoch sample grids into a GIF (the reference notebook's
     training-progress animation, ref:cnn/cnn-gan.ipynb cell 12 tail).
