@@ -44,11 +44,15 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _scores_block(q, qq, k_blk, score_mode: str, inv_scale: float):
-    """Pre-softmax scores for one (Bq, Bk) tile; f32 on the MXU."""
+    """Pre-softmax scores for one (Bq, Bk) tile.
+
+    Matmul operands stay in the INPUT dtype (bf16 feeds the MXU at full rate)
+    with float32 accumulation; all softmax-side math is float32.
+    """
     qk = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
     if score_mode == "dot":
         return qk * inv_scale
-    kk = jnp.sum(k_blk * k_blk, axis=-1)[None, :]
+    kk = jnp.sum(k_blk.astype(jnp.float32) ** 2, axis=-1)[None, :]
     d2 = jnp.maximum(qq + kk - 2.0 * qk, 0.0)
     return (-d2 * inv_scale) if score_mode == "l2" else (jnp.sqrt(d2 + 1e-12) * inv_scale)
 
@@ -60,17 +64,19 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, score_mode: str,
     Also writes the per-row log-sum-exp so the backward kernels can recompute
     the probabilities without a second softmax pass.
     """
-    q = q_ref[0].astype(jnp.float32)            # (Bq, D)
+    q = q_ref[0]                                # (Bq, D), input dtype
     block_q, d = q.shape
     n_padded = k_ref.shape[1]
     num_kb = n_padded // block_k
+    in_dtype = q.dtype
 
-    qq = jnp.sum(q * q, axis=-1, keepdims=True) if score_mode in ("l2", "l2ref") else None
+    qq = (jnp.sum(q.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+          if score_mode in ("l2", "l2ref") else None)
 
     def body(kb, carry):
         acc, m_i, l_i = carry
-        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = _scores_block(q, qq, k_blk, score_mode, inv_scale)
         # Mask padded keys.
         key_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -80,7 +86,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, score_mode: str,
         alpha = jnp.exp(m_i - m_new)
         p = jnp.exp(s - m_new)
         l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(p.astype(in_dtype), v_blk,
+                                    preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
     acc = jnp.zeros((block_q, d), jnp.float32)
@@ -163,73 +170,78 @@ def _flash_forward(q, k, v, score_mode: str, scale: float, block_q: int, block_k
 
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
                          score_mode: str, inv_scale: float, block_k: int, seq_len: int):
-    q = q_ref[0].astype(jnp.float32)          # (Bq, D)
-    do = do_ref[0].astype(jnp.float32)        # (Bq, D)
+    q = q_ref[0]                              # (Bq, D), input dtype
+    do = do_ref[0]                            # (Bq, D)
     lse = lse_ref[0, 0, :][:, None]           # sublane-replicated rows -> (Bq, 1)
     delta = delta_ref[0, 0, :][:, None]       # (Bq, 1)
     num_kb = k_ref.shape[1] // block_k
-    qq = jnp.sum(q * q, axis=-1, keepdims=True) if score_mode == "l2" else None
+    in_dtype = q.dtype
+    qq = (jnp.sum(q.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+          if score_mode == "l2" else None)
 
     def body(kb, carry):
         dq, ds_rowsum = carry
-        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = _scores_block(q, qq, k_blk, score_mode, inv_scale)
         key_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(key_ids < seq_len, s, NEG_INF)
         p = jnp.exp(s - lse)
         dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
-        dq = dq + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
+        dq = dq + jnp.dot(ds.astype(in_dtype), k_blk, preferred_element_type=jnp.float32)
         return dq, ds_rowsum + jnp.sum(ds, axis=-1, keepdims=True)
 
-    dq0 = jnp.zeros_like(q)
+    dq0 = jnp.zeros(q.shape, jnp.float32)
     rs0 = jnp.zeros((q.shape[0], 1), jnp.float32)
     dq, ds_rowsum = jax.lax.fori_loop(0, num_kb, body, (dq0, rs0))
     if score_mode == "dot":
         dq_ref[0] = (inv_scale * dq).astype(dq_ref.dtype)
     else:  # l2
-        dq_ref[0] = (2.0 * inv_scale * (dq - ds_rowsum * q)).astype(dq_ref.dtype)
+        dq_ref[0] = (2.0 * inv_scale * (dq - ds_rowsum * q.astype(jnp.float32))).astype(dq_ref.dtype)
 
 
 def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                           dk_ref, dv_ref, *, score_mode: str, inv_scale: float,
                           block_q: int, seq_len: int):
-    k_blk = k_ref[0].astype(jnp.float32)      # (Bk, D)
-    v_blk = v_ref[0].astype(jnp.float32)      # (Bk, D)
+    k_blk = k_ref[0]                          # (Bk, D), input dtype
+    v_blk = v_ref[0]                          # (Bk, D)
     num_qb = q_ref.shape[1] // block_q
-    kk = jnp.sum(k_blk * k_blk, axis=-1)[None, :] if score_mode == "l2" else None
+    in_dtype = k_blk.dtype
+    kk = (jnp.sum(k_blk.astype(jnp.float32) ** 2, axis=-1)[None, :]
+          if score_mode == "l2" else None)
 
     def body(qb, carry):
         dk, dv, ds_colsum = carry
-        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :]
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
         delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
         qk = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
         if score_mode == "dot":
             s = qk * inv_scale
         else:
-            qq = jnp.sum(q * q, axis=-1, keepdims=True)
+            qq = jnp.sum(q.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
             s = -jnp.maximum(qq + kk - 2.0 * qk, 0.0) * inv_scale
         key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(key_ids < seq_len, s, NEG_INF)
         # Padded q rows have lse=0 from the fwd pad; mask their p to 0.
         row_ids = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         p = jnp.where(row_ids < seq_len, jnp.exp(s - lse), 0.0)
-        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dv = dv + jnp.dot(p.astype(in_dtype).T, do, preferred_element_type=jnp.float32)
         dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
-        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        dk = dk + jnp.dot(ds.astype(in_dtype).T, q, preferred_element_type=jnp.float32)
         return dk, dv, ds_colsum + jnp.sum(ds, axis=0)[:, None]
 
-    z = jnp.zeros_like(k_blk)
+    z = jnp.zeros(k_blk.shape, jnp.float32)
     cs0 = jnp.zeros((k_blk.shape[0], 1), jnp.float32)
     dk, dv, ds_colsum = jax.lax.fori_loop(0, num_qb, body, (z, z, cs0))
     if score_mode == "dot":
         dk_ref[0] = (inv_scale * dk).astype(dk_ref.dtype)
     else:
-        dk_ref[0] = (2.0 * inv_scale * (dk - ds_colsum * k_blk)).astype(dk_ref.dtype)
+        dk_ref[0] = (2.0 * inv_scale
+                     * (dk - ds_colsum * k_blk.astype(jnp.float32))).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
