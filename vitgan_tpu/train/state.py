@@ -30,10 +30,17 @@ class TrainState:
     d_state: Any
     g_opt: optax.OptState
     d_opt: optax.OptState
+    g_ema: Any = None  # EMA copy of g_params when run.ema_decay > 0
 
     @property
     def g_vars(self) -> Dict[str, Any]:
         return {"params": self.g_params, "state": self.g_state}
+
+    @property
+    def g_vars_ema(self) -> Dict[str, Any]:
+        """Sampling-quality params: EMA when tracked, else the live params."""
+        return {"params": self.g_ema if self.g_ema is not None else self.g_params,
+                "state": self.g_state}
 
     @property
     def d_vars(self) -> Dict[str, Any]:
@@ -71,6 +78,7 @@ def create_train_state(rng: jax.Array, gan: GANBundle, cfg: ExperimentConfig) ->
     d_vars = gan.discriminator_init(kd)
     g_tx = make_optimizer(_optim_cfg(cfg, "gen"))
     d_tx = make_optimizer(_optim_cfg(cfg, "disc"))
+    ema = jax.tree.map(jnp.copy, g_vars["params"]) if cfg.run.ema_decay > 0 else None
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         rng=krest,
@@ -80,4 +88,5 @@ def create_train_state(rng: jax.Array, gan: GANBundle, cfg: ExperimentConfig) ->
         d_state=d_vars["state"],
         g_opt=g_tx.init(g_vars["params"]),
         d_opt=d_tx.init(d_vars["params"]),
+        g_ema=ema,
     )

@@ -43,6 +43,7 @@ def make_train_step(gan: GANBundle, cfg: ExperimentConfig, donate: bool = True):
     g_tx = make_optimizer(_optim_cfg(cfg, "gen"))
     d_tx = make_optimizer(_optim_cfg(cfg, "disc"))
     dtype = _compute_dtype(cfg)
+    ema_decay = cfg.run.ema_decay
 
     augment_spec = cfg.run.diff_augment
 
@@ -128,6 +129,11 @@ def make_train_step(gan: GANBundle, cfg: ExperimentConfig, donate: bool = True):
         (g_loss, g_state), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
+        g_ema = state.g_ema
+        if ema_decay > 0 and g_ema is not None:
+            g_ema = jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, g_ema, g_params
+            )
 
         metrics = {
             "d_loss": d_loss,
@@ -143,6 +149,7 @@ def make_train_step(gan: GANBundle, cfg: ExperimentConfig, donate: bool = True):
             step=state.step + 1, rng=rng,
             g_params=g_params, g_state=g_state, g_opt=g_opt,
             d_params=d_params, d_state=d_state, d_opt=d_opt,
+            g_ema=g_ema,
         )
         return new_state, metrics
 

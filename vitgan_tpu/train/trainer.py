@@ -121,7 +121,7 @@ class Trainer:
 
     def sample(self, n: int, rng: Optional[jax.Array] = None) -> np.ndarray:
         z = self.gan.sample_latent(rng if rng is not None else jax.random.PRNGKey(0), n)
-        return np.asarray(self.sample_fn(self.state.g_vars, z))
+        return np.asarray(self.sample_fn(self.state.g_vars_ema, z))
 
     def validate(self, num_batches: int = 8) -> Dict[str, float]:
         """No-update validation pass: D/G losses + accuracies over held-out-style
@@ -187,13 +187,13 @@ class Trainer:
             rng_np = np.random.default_rng(int(self.state.step))
             real_idx = rng_np.choice(self.pipeline.num_samples,
                                      size=(n_batches, b), replace=False).astype(np.int32)
-            return self._fid_fn(self.state.g_vars, self._device_dataset,
+            return self._fid_fn(self.state.g_vars_ema, self._device_dataset,
                                 jnp.asarray(real_idx),
                                 jax.random.PRNGKey(int(self.state.step)))
 
         def sample_batch(rng, n):
             z = self.gan.sample_latent(rng, n)
-            return np.asarray(self.sample_fn(self.state.g_vars, z))
+            return np.asarray(self.sample_fn(self.state.g_vars_ema, z))
 
         real_batches = (np.asarray(x) for x, _ in self.pipeline.epoch())
         return FID.compute_fid(
@@ -204,7 +204,7 @@ class Trainer:
     # ------------------------------------------------------------------ loop
 
     def _save_grids(self, epoch: int) -> None:
-        imgs = np.asarray(self.sample_fn(self.state.g_vars, self.eval_noise))
+        imgs = np.asarray(self.sample_fn(self.state.g_vars_ema, self.eval_noise))
         save_image_grid(f"{self.dirs.images}/epoch_{epoch:04d}.png", imgs)
         self.metrics.image_grid("samples", make_grid(imgs), int(self.state.step))
 
