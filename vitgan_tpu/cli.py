@@ -41,7 +41,10 @@ def _build_cfg(args) -> "ExperimentConfig":
         overrides["run_name"] = args.run_name
     for kv in args.set or []:
         key, val = kv.split("=", 1)
-        overrides[key] = json.loads(val) if val[:1] in "0123456789.-[tf\"" else val
+        try:
+            overrides[key] = json.loads(val)
+        except json.JSONDecodeError:
+            overrides[key] = val  # bare string
     return C.replace(cfg, **overrides) if overrides else cfg
 
 

@@ -27,7 +27,7 @@ import numpy as np
 from vitgan_tpu.config import ExperimentConfig
 from vitgan_tpu.data import make_pipeline
 from vitgan_tpu.models import build_gan, count_params
-from vitgan_tpu.parallel import make_mesh, shard_pytree_replicated
+from vitgan_tpu.parallel import make_mesh
 from vitgan_tpu.train import fid as FID
 from vitgan_tpu.train.state import create_train_state
 from vitgan_tpu.train.step import make_sample_fn, make_train_step
@@ -113,8 +113,11 @@ class Trainer:
         return self._extractor
 
     def resume(self, step: Optional[int] = None, best: bool = False) -> None:
+        from vitgan_tpu.parallel.sharding import shard_train_state
+
         self.state, meta = self.ckpts.restore(self.state, step=step, best=best)
-        self.state = shard_pytree_replicated(self.mesh, self.state)
+        self.state = shard_train_state(self.state, self.mesh,
+                                       tensor_parallel=self.cfg.mesh.model_parallel > 1)
         self.epoch = int(meta.get("epoch", 0))
         self.best_metric = float(meta.get("best_metric", float("inf")))
         self.log.info("resumed from step %d (epoch %d)", int(self.state.step), self.epoch)
@@ -166,7 +169,10 @@ class Trainer:
                 lambda x: jax.device_put(x), merged
             )
         )
-        self.state = shard_pytree_replicated(self.mesh, self.state)
+        from vitgan_tpu.parallel.sharding import shard_train_state
+
+        self.state = shard_train_state(self.state, self.mesh,
+                                       tensor_parallel=self.cfg.mesh.model_parallel > 1)
         self.log.info("warm-started discriminator: %d leaves loaded", loaded)
         return loaded
 
