@@ -49,12 +49,21 @@ def _build_cfg(args) -> "ExperimentConfig":
 
 
 def cmd_train(args) -> int:
+    from vitgan_tpu import config as C
     from vitgan_tpu.parallel import initialize_distributed
     from vitgan_tpu.train.trainer import Trainer
 
     initialize_distributed()
     cfg = _build_cfg(args)
-    trainer = Trainer(cfg)
+    try:
+        trainer = Trainer(cfg)
+    except FileNotFoundError as e:
+        # Dataset archives absent (e.g. zero-egress machine): fall back to the
+        # deterministic synthetic source so entry points still run end to end.
+        print(f"[vitgan-tpu] {e}\n[vitgan-tpu] falling back to the synthetic dataset",
+              file=sys.stderr)
+        cfg = C.replace(cfg, **{"data.dataset": "synthetic"})
+        trainer = Trainer(cfg)
     if args.resume:
         trainer.resume()
     trainer.fit()
