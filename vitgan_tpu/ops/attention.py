@@ -101,6 +101,109 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, score_mode: str,
     lse_ref[0] = jnp.broadcast_to(lse_row[None, :], (8, lse_row.shape[0]))
 
 
+def _flash_kernel_dma(q_ref, k_hbm, v_hbm, o_ref, lse_ref, k_buf, v_buf, k_sem, v_sem,
+                      *, score_mode: str, inv_scale: float, block_k: int, seq_len: int,
+                      n_pad: int):
+    """Flash forward with K/V resident in HBM, double-buffered DMA per k-block.
+
+    Used when K/V no longer fit comfortably in VMEM (very long sequences): each
+    (batch*head, q-block) program streams K/V tiles into two VMEM slots,
+    prefetching block kb+1 while computing block kb.
+    """
+    bh = pl.program_id(0)
+    q = q_ref[0]
+    block_q, d = q.shape
+    num_kb = n_pad // block_k
+    in_dtype = q.dtype
+
+    def k_dma(slot, kb):
+        return pltpu.make_async_copy(
+            k_hbm.at[bh, pl.ds(kb * block_k, block_k), :], k_buf.at[slot], k_sem.at[slot])
+
+    def v_dma(slot, kb):
+        return pltpu.make_async_copy(
+            v_hbm.at[bh, pl.ds(kb * block_k, block_k), :], v_buf.at[slot], v_sem.at[slot])
+
+    k_dma(0, 0).start()
+    v_dma(0, 0).start()
+
+    qq = (jnp.sum(q.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+          if score_mode in ("l2", "l2ref") else None)
+
+    def body(kb, carry):
+        acc, m_i, l_i = carry
+        slot = kb % 2
+        nxt = (kb + 1) % 2
+
+        @pl.when(kb + 1 < num_kb)
+        def _():
+            k_dma(nxt, kb + 1).start()
+            v_dma(nxt, kb + 1).start()
+
+        k_dma(slot, kb).wait()
+        v_dma(slot, kb).wait()
+        k_blk = k_buf[slot]
+        v_blk = v_buf[slot]
+        s = _scores_block(q, qq, k_blk, score_mode, inv_scale)
+        key_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_ids < seq_len, s, NEG_INF)
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_i - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p.astype(in_dtype), v_blk,
+                                    preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc = jnp.zeros((block_q, d), jnp.float32)
+    m_i = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l_i = jnp.zeros((block_q, 1), jnp.float32)
+    acc, m_i, l_i = jax.lax.fori_loop(0, num_kb, body, (acc, m_i, l_i))
+    o_ref[0] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
+    lse_row = (m_i + jnp.log(jnp.maximum(l_i, 1e-30)))[:, 0]
+    lse_ref[0] = jnp.broadcast_to(lse_row[None, :], (8, lse_row.shape[0]))
+
+
+def _flash_forward_dma(qp, kp, vp, b, h, n, n_pad, d_pad, score_mode, inv_scale,
+                       block_q, block_k, interpret, dtype):
+    grid = (b * h, n_pad // block_q)
+    kernel = functools.partial(
+        _flash_kernel_dma, score_mode=score_mode, inv_scale=inv_scale,
+        block_k=block_k, seq_len=n, n_pad=n_pad,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, n_pad, d_pad), dtype),
+            jax.ShapeDtypeStruct((b * h, 8, n_pad), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # K stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # V stays in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda bh, qi: (bh, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_k, d_pad), dtype),
+            pltpu.VMEM((2, block_k, d_pad), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+
+
+# K/V VMEM budget above which the forward streams them from HBM instead.
+_KV_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+
+
 def _pad_qkv(q, k, v, block_q: int, block_k: int):
     b, h, n, d = q.shape
     d_pad = _ceil_to(d, 128)
@@ -117,6 +220,15 @@ def _flash_forward(q, k, v, score_mode: str, scale: float, block_q: int, block_k
     b, h, n, d = q.shape
     inv_scale = 1.0 / math.sqrt(scale)
     qp, kp, vp, n_pad, d_pad = _pad_qkv(q, k, v, block_q, block_k)
+
+    kv_bytes = 2 * n_pad * d_pad * q.dtype.itemsize
+    if kv_bytes > _KV_VMEM_BUDGET_BYTES:
+        out, lse = _flash_forward_dma(qp, kp, vp, b, h, n, n_pad, d_pad, score_mode,
+                                      inv_scale, block_q, block_k, interpret, q.dtype)
+        out = out.reshape(b, h, n_pad, d_pad)[:, :, :n, :d]
+        if with_lse:
+            return out, lse[:, 0, :].reshape(b, h, n_pad)[:, :, :n]
+        return out
 
     grid = (b * h, n_pad // block_q)
     kernel = functools.partial(
