@@ -16,8 +16,12 @@ this kernel is the scaling path for the 64-256px configs (BASELINE configs
 #4-#5, ~1k-4k tokens) where the O(N^2) score matrix stops fitting on chip.
 ``use_pallas_attention`` gates on platform + sequence length accordingly.
 
-Backward: jax.custom_vjp with a pure-JAX recompute backward — grads are exact;
-the forward never materializes (N, N) in HBM.
+Backward: Pallas dq and dk/dv kernels driven by the forward's saved
+log-sum-exp for the 'dot' and 'l2' modes (measured ~25% faster than XLA's
+chunked recompute at 4k tokens); 'l2ref' falls back to ``attention_chunked``,
+a jax.checkpoint-per-q-chunk recompute with O(N*chunk) memory.  Above an 8MB
+K/V VMEM budget the forward streams K/V tiles from HBM with double-buffered
+DMA.  Nothing ever materializes (N, N) in HBM.
 """
 
 from __future__ import annotations
