@@ -14,11 +14,13 @@ def _run(script_args, tmp_path, extra_env=None):
     env = dict(os.environ)
     env.update({
         "DEV": "1", "SCRATCH": str(tmp_path), "JAX_PLATFORMS": "cpu",
+        # single virtual device: fastest compile for the smoke subprocesses
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
         "PYTHONPATH": REPO + os.pathsep + env.get("PYTHONPATH", ""),
     })
     env.update(extra_env or {})
     return subprocess.run([sys.executable, *script_args], cwd=REPO, env=env,
-                          capture_output=True, text=True, timeout=600)
+                          capture_output=True, text=True, timeout=1200)
 
 
 @pytest.mark.parametrize("script,extra", [

@@ -150,6 +150,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    # Honor an explicit JAX_PLATFORMS=cpu even on images whose site
+    # customization force-registers an accelerator platform.
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     args = build_parser().parse_args(argv)
     return args.fn(args)
 
