@@ -22,6 +22,10 @@ import jax  # noqa: E402
 # overrides JAX_PLATFORMS; the config update below wins after import.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compile cache: repeat suite runs skip XLA compilation.
+os.makedirs("/tmp/vitgan_tpu_test_scratch/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/vitgan_tpu_test_scratch/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
 
