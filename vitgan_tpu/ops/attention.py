@@ -284,6 +284,29 @@ def _flash_forward(q, k, v, score_mode: str, scale: float, block_q: int, block_k
 #  singular at d2=0 and it is a parity mode, not a performance path.)
 
 
+def _dq_block_update(q, qq, do, lse, delta, k_blk, v_blk, kb, block_k, seq_len,
+                     score_mode, inv_scale, carry):
+    """Shared per-k-block dq math (used by the VMEM and the DMA-streaming kernels)."""
+    dq, ds_rowsum = carry
+    in_dtype = q.dtype
+    s = _scores_block(q, qq, k_blk, score_mode, inv_scale)
+    key_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(key_ids < seq_len, s, NEG_INF)
+    p = jnp.exp(s - lse)
+    dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dq = dq + jnp.dot(ds.astype(in_dtype), k_blk, preferred_element_type=jnp.float32)
+    return dq, ds_rowsum + jnp.sum(ds, axis=-1, keepdims=True)
+
+
+def _dq_finalize(dq_ref, q, dq, ds_rowsum, score_mode, inv_scale):
+    if score_mode == "dot":
+        dq_ref[0] = (inv_scale * dq).astype(dq_ref.dtype)
+    else:  # l2
+        dq_ref[0] = (2.0 * inv_scale
+                     * (dq - ds_rowsum * q.astype(jnp.float32))).astype(dq_ref.dtype)
+
+
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
                          score_mode: str, inv_scale: float, block_k: int, seq_len: int):
     q = q_ref[0]                              # (Bq, D), input dtype
@@ -291,30 +314,95 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref
     lse = lse_ref[0, 0, :][:, None]           # sublane-replicated rows -> (Bq, 1)
     delta = delta_ref[0, 0, :][:, None]       # (Bq, 1)
     num_kb = k_ref.shape[1] // block_k
-    in_dtype = q.dtype
     qq = (jnp.sum(q.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
           if score_mode == "l2" else None)
 
     def body(kb, carry):
-        dq, ds_rowsum = carry
         k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
-        s = _scores_block(q, qq, k_blk, score_mode, inv_scale)
-        key_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(key_ids < seq_len, s, NEG_INF)
-        p = jnp.exp(s - lse)
-        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
-        dq = dq + jnp.dot(ds.astype(in_dtype), k_blk, preferred_element_type=jnp.float32)
-        return dq, ds_rowsum + jnp.sum(ds, axis=-1, keepdims=True)
+        return _dq_block_update(q, qq, do, lse, delta, k_blk, v_blk, kb, block_k,
+                                seq_len, score_mode, inv_scale, carry)
 
     dq0 = jnp.zeros(q.shape, jnp.float32)
     rs0 = jnp.zeros((q.shape[0], 1), jnp.float32)
     dq, ds_rowsum = jax.lax.fori_loop(0, num_kb, body, (dq0, rs0))
+    _dq_finalize(dq_ref, q, dq, ds_rowsum, score_mode, inv_scale)
+
+
+def _flash_bwd_dq_kernel_dma(q_ref, k_hbm, v_hbm, do_ref, lse_ref, delta_ref, dq_ref,
+                             k_buf, v_buf, k_sem, v_sem, *, score_mode: str,
+                             inv_scale: float, block_k: int, seq_len: int, n_pad: int):
+    """dq with K/V streamed from HBM (double-buffered), same math as above."""
+    bh = pl.program_id(0)
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, 0, :][:, None]
+    delta = delta_ref[0, 0, :][:, None]
+    num_kb = n_pad // block_k
+    qq = (jnp.sum(q.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+          if score_mode == "l2" else None)
+
+    def k_dma(slot, kb):
+        return pltpu.make_async_copy(
+            k_hbm.at[bh, pl.ds(kb * block_k, block_k), :], k_buf.at[slot], k_sem.at[slot])
+
+    def v_dma(slot, kb):
+        return pltpu.make_async_copy(
+            v_hbm.at[bh, pl.ds(kb * block_k, block_k), :], v_buf.at[slot], v_sem.at[slot])
+
+    k_dma(0, 0).start()
+    v_dma(0, 0).start()
+
+    def body(kb, carry):
+        slot = kb % 2
+        nxt = (kb + 1) % 2
+
+        @pl.when(kb + 1 < num_kb)
+        def _():
+            k_dma(nxt, kb + 1).start()
+            v_dma(nxt, kb + 1).start()
+
+        k_dma(slot, kb).wait()
+        v_dma(slot, kb).wait()
+        return _dq_block_update(q, qq, do, lse, delta, k_buf[slot], v_buf[slot], kb,
+                                block_k, seq_len, score_mode, inv_scale, carry)
+
+    dq0 = jnp.zeros(q.shape, jnp.float32)
+    rs0 = jnp.zeros((q.shape[0], 1), jnp.float32)
+    dq, ds_rowsum = jax.lax.fori_loop(0, num_kb, body, (dq0, rs0))
+    _dq_finalize(dq_ref, q, dq, ds_rowsum, score_mode, inv_scale)
+
+
+def _dkv_block_update(k_blk, kk, q, do, lse, delta, qb, block_q, seq_len,
+                      score_mode, inv_scale, v_blk, carry):
+    """Shared per-q-block dk/dv math (VMEM and DMA-streaming kernels)."""
+    dk, dv, ds_colsum = carry
+    in_dtype = k_blk.dtype
+    qk = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
     if score_mode == "dot":
-        dq_ref[0] = (inv_scale * dq).astype(dq_ref.dtype)
-    else:  # l2
-        dq_ref[0] = (2.0 * inv_scale * (dq - ds_rowsum * q.astype(jnp.float32))).astype(dq_ref.dtype)
+        s = qk * inv_scale
+    else:
+        qq = jnp.sum(q.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        s = -jnp.maximum(qq + kk - 2.0 * qk, 0.0) * inv_scale
+    key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(key_ids < seq_len, s, NEG_INF)
+    # Padded q rows have lse=0 from the fwd pad; mask their p to 0.
+    row_ids = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    p = jnp.where(row_ids < seq_len, jnp.exp(s - lse), 0.0)
+    dv = dv + jnp.dot(p.astype(in_dtype).T, do, preferred_element_type=jnp.float32)
+    dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dk = dk + jnp.dot(ds.astype(in_dtype).T, q, preferred_element_type=jnp.float32)
+    return dk, dv, ds_colsum + jnp.sum(ds, axis=0)[:, None]
+
+
+def _dkv_finalize(dk_ref, dv_ref, k_blk, dk, dv, ds_colsum, score_mode, inv_scale):
+    if score_mode == "dot":
+        dk_ref[0] = (inv_scale * dk).astype(dk_ref.dtype)
+    else:
+        dk_ref[0] = (2.0 * inv_scale
+                     * (dk - ds_colsum * k_blk.astype(jnp.float32))).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -323,42 +411,67 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k_blk = k_ref[0]                          # (Bk, D), input dtype
     v_blk = v_ref[0]                          # (Bk, D)
     num_qb = q_ref.shape[1] // block_q
-    in_dtype = k_blk.dtype
     kk = (jnp.sum(k_blk.astype(jnp.float32) ** 2, axis=-1)[None, :]
           if score_mode == "l2" else None)
 
     def body(qb, carry):
-        dk, dv, ds_colsum = carry
         q = q_ref[0, pl.ds(qb * block_q, block_q), :]
         do = do_ref[0, pl.ds(qb * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
         delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
-        qk = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
-        if score_mode == "dot":
-            s = qk * inv_scale
-        else:
-            qq = jnp.sum(q.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
-            s = -jnp.maximum(qq + kk - 2.0 * qk, 0.0) * inv_scale
-        key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(key_ids < seq_len, s, NEG_INF)
-        # Padded q rows have lse=0 from the fwd pad; mask their p to 0.
-        row_ids = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        p = jnp.where(row_ids < seq_len, jnp.exp(s - lse), 0.0)
-        dv = dv + jnp.dot(p.astype(in_dtype).T, do, preferred_element_type=jnp.float32)
-        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
-        dk = dk + jnp.dot(ds.astype(in_dtype).T, q, preferred_element_type=jnp.float32)
-        return dk, dv, ds_colsum + jnp.sum(ds, axis=0)[:, None]
+        return _dkv_block_update(k_blk, kk, q, do, lse, delta, qb, block_q, seq_len,
+                                 score_mode, inv_scale, v_blk, carry)
 
     z = jnp.zeros(k_blk.shape, jnp.float32)
     cs0 = jnp.zeros((k_blk.shape[0], 1), jnp.float32)
     dk, dv, ds_colsum = jax.lax.fori_loop(0, num_qb, body, (z, z, cs0))
-    if score_mode == "dot":
-        dk_ref[0] = (inv_scale * dk).astype(dk_ref.dtype)
-    else:
-        dk_ref[0] = (2.0 * inv_scale
-                     * (dk - ds_colsum * k_blk.astype(jnp.float32))).astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    _dkv_finalize(dk_ref, dv_ref, k_blk, dk, dv, ds_colsum, score_mode, inv_scale)
+
+
+def _flash_bwd_dkv_kernel_dma(q_hbm, k_ref, v_ref, do_hbm, lse_ref, delta_ref,
+                              dk_ref, dv_ref, q_buf, do_buf, q_sem, do_sem, *,
+                              score_mode: str, inv_scale: float, block_q: int,
+                              seq_len: int, n_pad: int):
+    """dk/dv with Q and dO streamed from HBM (double-buffered)."""
+    bh = pl.program_id(0)
+    k_blk = k_ref[0]
+    v_blk = v_ref[0]
+    num_qb = n_pad // block_q
+    kk = (jnp.sum(k_blk.astype(jnp.float32) ** 2, axis=-1)[None, :]
+          if score_mode == "l2" else None)
+
+    def q_dma(slot, qb):
+        return pltpu.make_async_copy(
+            q_hbm.at[bh, pl.ds(qb * block_q, block_q), :], q_buf.at[slot], q_sem.at[slot])
+
+    def do_dma(slot, qb):
+        return pltpu.make_async_copy(
+            do_hbm.at[bh, pl.ds(qb * block_q, block_q), :], do_buf.at[slot],
+            do_sem.at[slot])
+
+    q_dma(0, 0).start()
+    do_dma(0, 0).start()
+
+    def body(qb, carry):
+        slot = qb % 2
+        nxt = (qb + 1) % 2
+
+        @pl.when(qb + 1 < num_qb)
+        def _():
+            q_dma(nxt, qb + 1).start()
+            do_dma(nxt, qb + 1).start()
+
+        q_dma(slot, qb).wait()
+        do_dma(slot, qb).wait()
+        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+        return _dkv_block_update(k_blk, kk, q_buf[slot], do_buf[slot], lse, delta, qb,
+                                 block_q, seq_len, score_mode, inv_scale, v_blk, carry)
+
+    z = jnp.zeros(k_blk.shape, jnp.float32)
+    cs0 = jnp.zeros((k_blk.shape[0], 1), jnp.float32)
+    dk, dv, ds_colsum = jax.lax.fori_loop(0, num_qb, body, (z, z, cs0))
+    _dkv_finalize(dk_ref, dv_ref, k_blk, dk, dv, ds_colsum, score_mode, inv_scale)
 
 
 def _flash_backward(q, k, v, out, lse, g, score_mode: str, scale: float,
@@ -378,43 +491,67 @@ def _flash_backward(q, k, v, out, lse, g, score_mode: str, scale: float,
                              memory_space=pltpu.VMEM)
     full_row = pl.BlockSpec((1, 8, n_pad), lambda bh, i: (bh, 0, 0),
                             memory_space=pltpu.VMEM)
+    stream = 2 * n_pad * d_pad * q.dtype.itemsize > _KV_VMEM_BUDGET_BYTES
+
+    q_blk_spec = pl.BlockSpec((1, block_q, d_pad), lambda bh, qi: (bh, qi, 0),
+                              memory_space=pltpu.VMEM)
+    row_blk_spec = pl.BlockSpec((1, 8, block_q), lambda bh, qi: (bh, 0, qi),
+                                memory_space=pltpu.VMEM)
+    if stream:
+        dq_kernel = functools.partial(
+            _flash_bwd_dq_kernel_dma, score_mode=score_mode, inv_scale=inv_scale,
+            block_k=block_k, seq_len=n, n_pad=n_pad)
+        dq_kv_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
+        dq_scratch = [pltpu.VMEM((2, block_k, d_pad), q.dtype),
+                      pltpu.VMEM((2, block_k, d_pad), q.dtype),
+                      pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]
+    else:
+        dq_kernel = functools.partial(
+            _flash_bwd_dq_kernel, score_mode=score_mode, inv_scale=inv_scale,
+            block_k=block_k, seq_len=n)
+        dq_kv_specs = [full_spec, full_spec]
+        dq_scratch = []
 
     dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, score_mode=score_mode,
-                          inv_scale=inv_scale, block_k=block_k, seq_len=n),
+        dq_kernel,
         out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
         grid=(b * h, n_pad // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d_pad), lambda bh, qi: (bh, qi, 0),
-                         memory_space=pltpu.VMEM),
-            full_spec, full_spec,
-            pl.BlockSpec((1, block_q, d_pad), lambda bh, qi: (bh, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, block_q), lambda bh, qi: (bh, 0, qi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, block_q), lambda bh, qi: (bh, 0, qi),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[q_blk_spec, *dq_kv_specs, q_blk_spec, row_blk_spec, row_blk_spec],
         out_specs=pl.BlockSpec((1, block_q, d_pad), lambda bh, qi: (bh, qi, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=dq_scratch,
         interpret=interpret,
     )(qp, kp, vp, gp, lse_p, delta)
 
+    if stream:
+        dkv_kernel = functools.partial(
+            _flash_bwd_dkv_kernel_dma, score_mode=score_mode, inv_scale=inv_scale,
+            block_q=block_q, seq_len=n, n_pad=n_pad)
+        dkv_qdo_spec = pl.BlockSpec(memory_space=pl.ANY)
+        dkv_scratch = [pltpu.VMEM((2, block_q, d_pad), q.dtype),
+                       pltpu.VMEM((2, block_q, d_pad), q.dtype),
+                       pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]
+    else:
+        dkv_kernel = functools.partial(
+            _flash_bwd_dkv_kernel, score_mode=score_mode, inv_scale=inv_scale,
+            block_q=block_q, seq_len=n)
+        dkv_qdo_spec = full_spec
+        dkv_scratch = []
+
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, score_mode=score_mode,
-                          inv_scale=inv_scale, block_q=block_q, seq_len=n),
+        dkv_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((b * h, n_pad, d_pad), k.dtype),
             jax.ShapeDtypeStruct((b * h, n_pad, d_pad), v.dtype),
         ),
         grid=(b * h, n_pad // block_k),
         in_specs=[
-            full_spec,
+            dkv_qdo_spec,
             pl.BlockSpec((1, block_k, d_pad), lambda bh, ki: (bh, ki, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d_pad), lambda bh, ki: (bh, ki, 0),
                          memory_space=pltpu.VMEM),
-            full_spec, full_row, full_row,
+            dkv_qdo_spec, full_row, full_row,
         ],
         out_specs=(
             pl.BlockSpec((1, block_k, d_pad), lambda bh, ki: (bh, ki, 0),
@@ -422,6 +559,7 @@ def _flash_backward(q, k, v, out, lse, g, score_mode: str, scale: float,
             pl.BlockSpec((1, block_k, d_pad), lambda bh, ki: (bh, ki, 0),
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=dkv_scratch,
         interpret=interpret,
     )(qp, kp, vp, gp, lse_p, delta)
 
