@@ -71,8 +71,16 @@ class Trainer:
             from vitgan_tpu.train.step import make_device_data_train_fn
 
             self._device_dataset = jax.device_put(self.pipeline.images)
+            # One scanned call per epoch by default: on tunneled devices every
+            # per-call host round trip costs ~200ms once any metric has been
+            # read, so the fewer device calls per epoch the better.
+            self._device_steps_per_call = (
+                self.steps_per_call if cfg.run.steps_per_call > 1
+                else min(max(1, len(self.pipeline)), 1024)
+            )
             self._device_train_fn = make_device_data_train_fn(
-                self.gan, cfg, self.steps_per_call, donate=cfg.runtime.donate_state
+                self.gan, cfg, self._device_steps_per_call,
+                donate=cfg.runtime.donate_state,
             )
         self.sample_fn = make_sample_fn(self.gan, cfg)
         self._extractor_name = fid_extractor
@@ -89,6 +97,12 @@ class Trainer:
                                                  min(64, m.batch_size))
         self.best_metric = float("inf")
         self.epoch = 0
+        self._metric_agg = jax.jit(
+            lambda em: {
+                k: jnp.mean(jnp.concatenate([jnp.atleast_1d(x) for x in v]))
+                for k, v in em.items()
+            }
+        )
         self._early = None
         if cfg.run.early_stop_patience > 0:
             from vitgan_tpu.utils.logging import EarlyStopping
@@ -253,7 +267,7 @@ class Trainer:
         if run.steps_per_epoch:
             n_batches = min(n_batches, run.steps_per_epoch)
         idx = np.asarray(order[: n_batches * b], np.int32).reshape(n_batches, b)
-        k = self.steps_per_call
+        k = self._device_steps_per_call
         n_full_calls = (n_batches // k) * k
         # ONE host->device transfer for the whole epoch's indices: per-call
         # transfers each pay the device-link round trip (measured ~40ms on the
@@ -307,17 +321,12 @@ class Trainer:
                             "epoch %d step %d | D %.4f G %.4f",
                             epoch, i + 1, float(np.mean(lm["d"])), float(np.mean(lm["g"])),
                         )
-                # ONE device->host transfer per epoch: concatenate every metric
-                # series into a single device array first (a per-leaf device_get
-                # pays the link round trip per metric).
-                keys = sorted(epoch_metrics)
-                if keys:
-                    flat = jnp.stack([
-                        jnp.concatenate([jnp.atleast_1d(x) for x in epoch_metrics[k]])
-                        for k in keys
-                    ])
-                    vals = np.asarray(jax.device_get(flat))
-                    means = {k: float(vals[j].mean()) for j, k in enumerate(keys)}
+                # ONE jitted aggregation + ONE device->host transfer per epoch:
+                # eager per-metric concatenation would launch hundreds of tiny
+                # device ops, each paying the device-link round trip.
+                if epoch_metrics:
+                    agg = self._metric_agg({k: tuple(v) for k, v in epoch_metrics.items()})
+                    means = {k: float(v) for k, v in jax.device_get(agg).items()}
                 else:
                     means = {}
                 dt = time.time() - t0
