@@ -38,7 +38,7 @@ from vitgan_tpu.models import layers as L
 
 def _block_init(key, features: int, cfg, spectral: bool, dtype=jnp.float32):
     """One pre-LN transformer block (ref:src/v1/transformer.py:9-45 topology)."""
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, _, _ = jax.random.split(key, 4)
     msha_p, msha_s = L.mhsa_init(
         k1, features, cfg.num_heads, spectral=spectral, qkv_bias=False, dtype=dtype
     )
