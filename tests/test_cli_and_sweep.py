@@ -31,6 +31,23 @@ def test_cli_train_then_generate(dev_env):
     assert os.path.getsize(os.path.join(run_dir, "test", "generated_images.png")) > 0
 
 
+def test_cli_generate_nondefault_run(dev_env):
+    """Regression (ADVICE r1): generate rebuilt a DEFAULT config instead of the
+    run's training config, so any non-default run (e.g. ema_decay>0, whose
+    checkpoint tree carries g_ema) crashed on restore with a tree mismatch."""
+    rc = cli.main([
+        "train", "--family", "mlp", "--dataset", "synthetic", "--epochs", "1",
+        "--run-name", "emarun", "--set", "run.ema_decay=0.99",
+        "--set", "run.fid_every_epochs=0",
+    ])
+    assert rc == 0
+    run_dir = os.path.join(str(dev_env), "output", "emarun")
+    assert os.path.exists(os.path.join(run_dir, "config.json"))
+    rc = cli.main(["generate", "--run-dir", run_dir, "--num-images", "4"])
+    assert rc == 0
+    assert os.path.getsize(os.path.join(run_dir, "test", "generated_images.png")) > 0
+
+
 def test_cli_set_override(dev_env):
     rc = cli.main([
         "train", "--family", "mlp", "--dataset", "synthetic", "--epochs", "1",

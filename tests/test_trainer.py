@@ -49,6 +49,28 @@ def test_trainer_resume(tmp_path, smoke_cfg):
     assert int(tr2.state.step) > step_before
 
 
+def test_trainer_resume_epoch_not_skipped(tmp_path, smoke_cfg):
+    """Regression (ADVICE r1): the finally epilogue double-incremented the
+    saved epoch, so fit(2) -> resume -> fit(3) silently trained 0 steps."""
+    cfg = C.replace(smoke_cfg, run_name="t2b")
+    tr = Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
+    tr.fit(epochs=2)
+    step_before = int(tr.state.step)
+
+    tr2 = Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
+    tr2.resume()
+    assert tr2.epoch == 2  # next epoch to run, not 3
+    tr2.fit(epochs=3)  # must actually train epoch 2
+    assert int(tr2.state.step) > step_before
+
+
+def test_trainer_persists_config(tmp_path, smoke_cfg):
+    cfg = C.replace(smoke_cfg, run_name="tcfg")
+    Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
+    loaded = C.load_config(os.path.join(str(tmp_path), "tcfg", "config.json"))
+    assert loaded == cfg
+
+
 def test_trainer_sample(tmp_path, smoke_cfg):
     cfg = C.replace(smoke_cfg, run_name="t3")
     tr = Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")

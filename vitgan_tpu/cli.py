@@ -19,13 +19,7 @@ import sys
 from typing import List, Optional
 
 
-def _build_cfg(args) -> "ExperimentConfig":
-    from vitgan_tpu import config as C
-
-    if C.dev_mode():
-        cfg = C.smoke_config(args.family)
-    else:
-        cfg = C.ExperimentConfig(family=args.family)
+def _collect_overrides(args) -> dict:
     overrides = {}
     if args.dataset:
         overrides["data.dataset"] = args.dataset
@@ -45,6 +39,17 @@ def _build_cfg(args) -> "ExperimentConfig":
             overrides[key] = json.loads(val)
         except json.JSONDecodeError:
             overrides[key] = val  # bare string
+    return overrides
+
+
+def _build_cfg(args) -> "ExperimentConfig":
+    from vitgan_tpu import config as C
+
+    if C.dev_mode():
+        cfg = C.smoke_config(args.family)
+    else:
+        cfg = C.ExperimentConfig(family=args.family)
+    overrides = _collect_overrides(args)
     return C.replace(cfg, **overrides) if overrides else cfg
 
 
@@ -86,14 +91,25 @@ def cmd_generate(args) -> int:
     if run_dir is None:
         print("no run directory found", file=sys.stderr)
         return 1
-    cfg = C.smoke_config(args.family) if C.dev_mode() else C.ExperimentConfig(family=args.family)
+    # The run's persisted training config is the source of truth for the model
+    # shape (and whether g_ema exists in the checkpoint tree); CLI --set
+    # overrides still apply on top for runtime knobs.
+    cfg_path = os.path.join(run_dir, "config.json")
+    if os.path.exists(cfg_path):
+        cfg = C.load_config(cfg_path)
+    else:
+        cfg = _build_cfg(args)
+    overrides = _collect_overrides(args)
+    if overrides:
+        cfg = C.replace(cfg, **overrides)
     gan = build_gan(cfg)
     state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
     mgr = CheckpointManager(os.path.join(run_dir, "checkpoints"))
     state, meta = mgr.restore(state, best=args.best)
     sample = make_sample_fn(gan, cfg)
     z = gan.sample_latent(jax.random.PRNGKey(args.seed or 0), args.num_images)
-    imgs = np.asarray(sample({"params": state.g_params, "state": state.g_state}, z))
+    # Sample from the EMA params when tracked — same weights FID/best tracking use.
+    imgs = np.asarray(sample(state.g_vars_ema, z))
     out_dir = os.path.join(run_dir, "test")
     save_image_grid(os.path.join(out_dir, "generated_images.png"), imgs)
     np.save(os.path.join(out_dir, "noise.npy"), np.asarray(z))

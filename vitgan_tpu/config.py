@@ -316,6 +316,49 @@ def replace(cfg: Any, **kwargs: Any) -> Any:
     return dataclasses.replace(cfg, **direct)
 
 
+def to_dict(cfg: ExperimentConfig) -> dict:
+    """JSON-safe nested dict of the full experiment config."""
+    return dataclasses.asdict(cfg)
+
+
+def from_dict(d: dict, cls: Any = None) -> Any:
+    """Inverse of ``to_dict``: rebuild the frozen dataclass tree.
+
+    Tolerant of unknown keys (forward compat) and coerces JSON lists back to
+    tuples where the field type is a tuple.
+    """
+    cls = cls or ExperimentConfig
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for name, val in d.items():
+        if name not in fields:
+            continue
+        ftype = fields[name].type
+        base = ftype.split("[")[0].replace("Optional", "").strip() if isinstance(ftype, str) else ""
+        target = globals().get(base)
+        if dataclasses.is_dataclass(target) and isinstance(val, dict):
+            kwargs[name] = from_dict(val, target)
+        elif isinstance(val, list):
+            kwargs[name] = tuple(val)
+        else:
+            kwargs[name] = val
+    return cls(**kwargs)
+
+
+def save_config(cfg: ExperimentConfig, path: str) -> None:
+    import json
+
+    with open(path, "w") as f:
+        json.dump(to_dict(cfg), f, indent=2, default=str)
+
+
+def load_config(path: str) -> ExperimentConfig:
+    import json
+
+    with open(path) as f:
+        return from_dict(json.load(f))
+
+
 def deit64_config() -> ExperimentConfig:
     """BASELINE config #4: DeiT-style discriminator with heavier augmentations
     at 64x64 (patch 4 => 256 tokens + CLS, exercising the augment kernels and

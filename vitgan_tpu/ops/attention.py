@@ -373,8 +373,8 @@ def _flash_bwd_dq_kernel_dma(q_ref, k_hbm, v_hbm, do_ref, lse_ref, delta_ref, dq
     _dq_finalize(dq_ref, q, dq, ds_rowsum, score_mode, inv_scale)
 
 
-def _dkv_block_update(k_blk, kk, q, do, lse, delta, qb, block_q, seq_len,
-                      score_mode, inv_scale, v_blk, carry):
+def _dkv_block_update(k_blk, kk, q, do, lse, delta, qb, ki, block_q, block_k,
+                      seq_len, score_mode, inv_scale, v_blk, carry):
     """Shared per-q-block dk/dv math (VMEM and DMA-streaming kernels)."""
     dk, dv, ds_colsum = carry
     in_dtype = k_blk.dtype
@@ -384,7 +384,10 @@ def _dkv_block_update(k_blk, kk, q, do, lse, delta, qb, block_q, seq_len,
     else:
         qq = jnp.sum(q.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
         s = -jnp.maximum(qq + kk - 2.0 * qk, 0.0) * inv_scale
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    # GLOBAL key index of this k-block's columns (ki = the kernel's k-block
+    # grid position): padded keys must be masked in every block, not just the
+    # first — a local iota only masked block 0's tail.
+    key_ids = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(key_ids < seq_len, s, NEG_INF)
     # Padded q rows have lse=0 from the fwd pad; mask their p to 0.
     row_ids = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
@@ -407,9 +410,10 @@ def _dkv_finalize(dk_ref, dv_ref, k_blk, dk, dv, ds_colsum, score_mode, inv_scal
 
 def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                           dk_ref, dv_ref, *, score_mode: str, inv_scale: float,
-                          block_q: int, seq_len: int):
+                          block_q: int, block_k: int, seq_len: int):
     k_blk = k_ref[0]                          # (Bk, D), input dtype
     v_blk = v_ref[0]                          # (Bk, D)
+    ki = pl.program_id(1)                     # this program's k-block position
     num_qb = q_ref.shape[1] // block_q
     kk = (jnp.sum(k_blk.astype(jnp.float32) ** 2, axis=-1)[None, :]
           if score_mode == "l2" else None)
@@ -419,8 +423,8 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         do = do_ref[0, pl.ds(qb * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
         delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
-        return _dkv_block_update(k_blk, kk, q, do, lse, delta, qb, block_q, seq_len,
-                                 score_mode, inv_scale, v_blk, carry)
+        return _dkv_block_update(k_blk, kk, q, do, lse, delta, qb, ki, block_q,
+                                 block_k, seq_len, score_mode, inv_scale, v_blk, carry)
 
     z = jnp.zeros(k_blk.shape, jnp.float32)
     cs0 = jnp.zeros((k_blk.shape[0], 1), jnp.float32)
@@ -431,11 +435,12 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 def _flash_bwd_dkv_kernel_dma(q_hbm, k_ref, v_ref, do_hbm, lse_ref, delta_ref,
                               dk_ref, dv_ref, q_buf, do_buf, q_sem, do_sem, *,
                               score_mode: str, inv_scale: float, block_q: int,
-                              seq_len: int, n_pad: int):
+                              block_k: int, seq_len: int, n_pad: int):
     """dk/dv with Q and dO streamed from HBM (double-buffered)."""
     bh = pl.program_id(0)
     k_blk = k_ref[0]
     v_blk = v_ref[0]
+    ki = pl.program_id(1)
     num_qb = n_pad // block_q
     kk = (jnp.sum(k_blk.astype(jnp.float32) ** 2, axis=-1)[None, :]
           if score_mode == "l2" else None)
@@ -465,8 +470,9 @@ def _flash_bwd_dkv_kernel_dma(q_hbm, k_ref, v_ref, do_hbm, lse_ref, delta_ref,
         do_dma(slot, qb).wait()
         lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
         delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
-        return _dkv_block_update(k_blk, kk, q_buf[slot], do_buf[slot], lse, delta, qb,
-                                 block_q, seq_len, score_mode, inv_scale, v_blk, carry)
+        return _dkv_block_update(k_blk, kk, q_buf[slot], do_buf[slot], lse, delta,
+                                 qb, ki, block_q, block_k, seq_len, score_mode,
+                                 inv_scale, v_blk, carry)
 
     z = jnp.zeros(k_blk.shape, jnp.float32)
     cs0 = jnp.zeros((k_blk.shape[0], 1), jnp.float32)
@@ -526,7 +532,7 @@ def _flash_backward(q, k, v, out, lse, g, score_mode: str, scale: float,
     if stream:
         dkv_kernel = functools.partial(
             _flash_bwd_dkv_kernel_dma, score_mode=score_mode, inv_scale=inv_scale,
-            block_q=block_q, seq_len=n, n_pad=n_pad)
+            block_q=block_q, block_k=block_k, seq_len=n, n_pad=n_pad)
         dkv_qdo_spec = pl.BlockSpec(memory_space=pl.ANY)
         dkv_scratch = [pltpu.VMEM((2, block_q, d_pad), q.dtype),
                        pltpu.VMEM((2, block_q, d_pad), q.dtype),
@@ -534,7 +540,7 @@ def _flash_backward(q, k, v, out, lse, g, score_mode: str, scale: float,
     else:
         dkv_kernel = functools.partial(
             _flash_bwd_dkv_kernel, score_mode=score_mode, inv_scale=inv_scale,
-            block_q=block_q, seq_len=n)
+            block_q=block_q, block_k=block_k, seq_len=n)
         dkv_qdo_spec = full_spec
         dkv_scratch = []
 

@@ -34,8 +34,12 @@ def _compute_dtype(cfg: ExperimentConfig):
     return jnp.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jnp.float32
 
 
-def make_train_step(gan: GANBundle, cfg: ExperimentConfig, donate: bool = True):
-    """Build the jitted (state, real_images) -> (state, metrics) step."""
+def make_raw_train_step(gan: GANBundle, cfg: ExperimentConfig):
+    """Build the UN-jitted (state, real_images) -> (state, metrics) step.
+
+    Used directly by the scanned multi-step builders (a jit-of-scan-of-step),
+    and wrapped in ``jax.jit`` by :func:`make_train_step` for single-step use.
+    """
     mcfg = cfg.model
     loss_name = getattr(mcfg, "loss", "bce")
     criterion = LO.pick_criterion(loss_name if loss_name in ("bce", "mse") else "bce")
@@ -153,7 +157,13 @@ def make_train_step(gan: GANBundle, cfg: ExperimentConfig, donate: bool = True):
         )
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return step
+
+
+def make_train_step(gan: GANBundle, cfg: ExperimentConfig, donate: bool = True):
+    """Build the jitted (state, real_images) -> (state, metrics) step."""
+    return jax.jit(make_raw_train_step(gan, cfg),
+                   donate_argnums=(0,) if donate else ())
 
 
 def make_multi_train_step(gan: GANBundle, cfg: ExperimentConfig, n_steps: int,
@@ -166,9 +176,7 @@ def make_multi_train_step(gan: GANBundle, cfg: ExperimentConfig, n_steps: int,
     per-step host dispatch, which dominates at CIFAR scale (~2ms/step model).
     Returns per-step metrics stacked along axis 0.
     """
-    inner = make_train_step(gan, cfg, donate=False)
-    # Unwrap the jit: scan over the raw python step for one big XLA program.
-    raw_step = inner.__wrapped__
+    raw_step = make_raw_train_step(gan, cfg)
 
     def multi(state: TrainState, reals: jnp.ndarray):
         def body(s, real):
@@ -192,8 +200,7 @@ def make_device_data_train_fn(gan: GANBundle, cfg: ExperimentConfig, n_steps: in
     Call: fn(state, dataset_u8, indices (n_steps, B) int32) -> (state, metrics).
     Only integer indices cross the host boundary per call.
     """
-    inner = make_train_step(gan, cfg, donate=False)
-    raw_step = inner.__wrapped__
+    raw_step = make_raw_train_step(gan, cfg)
     flip = cfg.data.augment_flip
 
     def multi(state: TrainState, dataset_u8: jnp.ndarray, indices: jnp.ndarray):

@@ -45,6 +45,11 @@ class Trainer:
         apply_from_runtime(cfg.runtime)
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
         self.dirs = construct_directories(cfg.run_name, base=run_base)
+        # Persist the exact experiment config so `generate`/resume tooling can
+        # rebuild the same model without re-deriving CLI overrides.
+        from vitgan_tpu.config import save_config
+
+        save_config(cfg, f"{self.dirs.root}/config.json")
         self.log = get_logger("vitgan_tpu", self.dirs.training_log)
         self.metrics = MetricLogger(self.dirs.logs)
         self.ckpts = CheckpointManager(self.dirs.checkpoints, keep=cfg.run.keep_checkpoints)
@@ -365,8 +370,13 @@ class Trainer:
                 self.epoch = epoch + 1  # so a later fit()/resume continues, not repeats
         finally:
             # Crash-safe epilogue (ref:src/v2/training.py:252-268, ref:main-v1.py:39-44).
+            # Convention: persisted 'epoch' is the NEXT epoch to run.  self.epoch
+            # already holds that after a completed epoch (incremented at the end
+            # of the loop body); after a mid-epoch crash it holds the incomplete
+            # epoch, which resume should re-run.  No +1 here — that double
+            # -incremented and silently skipped an epoch on resume.
             self.ckpts.save(int(self.state.step), jax.device_get(self.state),
-                            {"epoch": self.epoch + 1, "best_metric": self.best_metric,
+                            {"epoch": self.epoch, "best_metric": self.best_metric,
                              "final": True})
             self.ckpts.wait()  # the final save must be durable before we return
             self.metrics.save_figures(self.dirs.images)
