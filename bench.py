@@ -8,6 +8,16 @@ on the available accelerator and prints ONE JSON line:
 
 ``vs_baseline`` is the ratio to the PyTorch-CPU reference implementation
 measured by scripts/measure_torch_baseline.py (BASELINE_MEASURED.json).
+
+Measurement discipline (round-2 fix): on the tunneled "axon" TPU platform,
+``jax.block_until_ready`` can return BEFORE execution completes until a first
+full host readback has happened — round 1's 1.35M img/s headline was that
+artifact.  This harness therefore (a) forces a host readback after warmup,
+(b) times to a host materialization of a value that depends on the final
+train state (so nothing can finish "later"), (c) cross-checks
+block_until_ready against the readback and reports divergence, and (d)
+computes the XLA FLOP count of the step and refuses to print a number that
+implies more than the chip's physical peak.
 """
 
 import json
@@ -18,7 +28,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from vitgan_tpu import config as C  # noqa: E402
@@ -29,6 +38,30 @@ from vitgan_tpu.models import build_gan  # noqa: E402
 from vitgan_tpu.train import create_train_state  # noqa: E402
 from vitgan_tpu.train.step import make_device_data_train_fn  # noqa: E402
 
+# Physical single-chip ceilings (dense peak, TFLOP/s).  Any measurement whose
+# implied FLOP rate exceeds the relevant peak is a timing bug, not a result.
+_PEAK_TFLOPS = {
+    "TPU v5 lite": 197.0,   # v5e bf16
+    "TPU v4": 275.0,
+    "TPU v6": 918.0,        # v6e bf16
+    "cpu": 1.0,
+}
+
+
+def _chip_peak_tflops() -> float:
+    name = jax.devices()[0].device_kind
+    for k, v in _PEAK_TFLOPS.items():
+        if k.lower() in name.lower():
+            return v
+    return 1000.0  # unknown chip: only catches truly absurd numbers
+
+
+def _readback_scalar(state) -> float:
+    """Host-materialize a value that depends on the final G params — the
+    ground-truth synchronization point."""
+    leaf = jax.tree_util.tree_leaves(state.g_params)[0]
+    return float(np.asarray(leaf).ravel()[0])
+
 
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "64"))
@@ -36,6 +69,9 @@ def main():
     n_calls = int(os.environ.get("BENCH_CALLS", "10"))
     cfg = C.ExperimentConfig(family="v2", data=C.DataConfig(dataset="synthetic"))
     cfg = C.replace(cfg, **{"v2.batch_size": batch})
+    from vitgan_tpu.ops.policy import apply_from_runtime
+
+    apply_from_runtime(cfg.runtime)
 
     gan = build_gan(cfg)
     rng = jax.random.PRNGKey(0)
@@ -51,23 +87,60 @@ def main():
         host_rng.integers(0, 256, (4096, 32, 32, 3), dtype=np.uint8)
     )
     idx = jax.device_put(
-        host_rng.integers(0, 4096, (n_calls, scan_steps, batch)).astype(np.int32)
+        host_rng.integers(0, 4096, (n_calls + 1, scan_steps, batch)).astype(np.int32)
     )
 
-    # Warmup / compile.
+    # FLOP model: XLA's own cost analysis.  NOTE: XLA counts a lax.scan body
+    # ONCE regardless of trip count (verified: scan=1/4/64 all report the same
+    # flops), so the per-call cost is flops(single step) * scan_steps.
+    flops_per_step = None
+    try:
+        from vitgan_tpu.train.step import make_raw_train_step
+
+        raw = jax.jit(make_raw_train_step(gan, cfg))
+        real0 = jax.numpy.zeros((batch, 32, 32, cfg.model.channels), jax.numpy.float32)
+        ca = raw.lower(state, real0).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops_per_step = float(ca["flops"])
+    except Exception:
+        pass
+
+    # Warmup/compile — then force a FULL host readback so (a) warmup has truly
+    # finished and (b) the tunneled platform drops into synchronous dispatch.
+    state, metrics = step(state, dataset, idx[0])
+    _ = _readback_scalar(state)
+
+    # Synchronization self-check: block_until_ready must agree with an actual
+    # host readback to within 25%; if it doesn't, block_until_ready lies on
+    # this platform and only readback-timed numbers may be reported.
+    t0 = time.perf_counter()
     state, metrics = step(state, dataset, idx[0])
     jax.block_until_ready(metrics["d_loss"])
+    t_block = time.perf_counter() - t0
+    _ = _readback_scalar(state)
+    t_read = time.perf_counter() - t0
+    sync_ok = t_block >= 0.75 * t_read
 
+    # Timed run: end at host materialization of the final state (ground truth).
     t0 = time.perf_counter()
     for c in range(n_calls):
-        state, metrics = step(state, dataset, idx[c])
-    jax.block_until_ready(metrics["d_loss"])
+        state, metrics = step(state, dataset, idx[c + 1])
+    _ = _readback_scalar(state)
     dt = time.perf_counter() - t0
     assert np.isfinite(np.asarray(metrics["d_loss"])).all(), "non-finite D loss"
     assert np.isfinite(np.asarray(metrics["g_loss"])).all(), "non-finite G loss"
 
     n_chips = max(1, len(jax.devices()))
     ips_per_chip = batch * scan_steps * n_calls / dt / n_chips
+
+    implied_tflops = None
+    if flops_per_step:
+        implied_tflops = flops_per_step * scan_steps * n_calls / dt / 1e12 / n_chips
+        peak = _chip_peak_tflops()
+        assert implied_tflops <= peak, (
+            f"implied {implied_tflops:.1f} TFLOP/s exceeds the chip's "
+            f"{peak:.0f} TFLOP/s peak — the timing is broken, refusing to report"
+        )
 
     vs = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
@@ -82,6 +155,10 @@ def main():
         "value": round(ips_per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "timed_to": "host readback of final train state",
+        "block_until_ready_agrees": bool(sync_ok),
+        "implied_tflops_per_chip": round(implied_tflops, 2) if implied_tflops else None,
+        "step_gflops": round(flops_per_step / 1e9, 2) if flops_per_step else None,
     }))
 
 

@@ -7,10 +7,15 @@ standard ``xla_force_host_platform_device_count`` trick.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the env presets JAX_PLATFORMS=axon (TPU)
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# RUN_TPU_TESTS=1 selects the on-chip lane (tests/test_tpu_onchip.py, run it
+# alone): the real accelerator stays registered and nothing is CPU-forced.
+ON_CHIP = os.environ.get("RUN_TPU_TESTS", "") == "1"
+
+if not ON_CHIP:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # force: the env presets JAX_PLATFORMS=axon (TPU)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 # Keep artifact writes inside the workspace during tests.
 os.environ.setdefault("SCRATCH", "/tmp/vitgan_tpu_test_scratch")
 
@@ -18,10 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-# The image's .axon_site customization force-registers the TPU platform and
-# overrides JAX_PLATFORMS; the config update below wins after import.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_default_matmul_precision", "highest")
+if not ON_CHIP:
+    # The image's .axon_site customization force-registers the TPU platform and
+    # overrides JAX_PLATFORMS; the config update below wins after import.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compile cache: repeat suite runs skip XLA compilation.
 os.makedirs("/tmp/vitgan_tpu_test_scratch/jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/vitgan_tpu_test_scratch/jax_cache")

@@ -102,6 +102,11 @@ def cmd_generate(args) -> int:
     overrides = _collect_overrides(args)
     if overrides:
         cfg = C.replace(cfg, **overrides)
+    # Same runtime knobs as training: the checkpointed PRNG key's shape depends
+    # on the configured impl, so the restore template must match.
+    from vitgan_tpu.ops.policy import apply_from_runtime
+
+    apply_from_runtime(cfg.runtime)
     gan = build_gan(cfg)
     state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
     mgr = CheckpointManager(os.path.join(run_dir, "checkpoints"))

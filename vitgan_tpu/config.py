@@ -240,6 +240,11 @@ class RuntimeConfig:
     use_pallas: str = "auto"  # auto | always | never — auto => pallas on TPU only
     remat: bool = False  # jax.checkpoint transformer blocks
     donate_state: bool = True
+    # PRNG implementation for all keys.  'rbg' drives dropout masks through the
+    # hardware RNG: measured 1.5x whole-step speedup at v2-CIFAR scale vs
+    # threefry mask hashing (still fully deterministic per key; checkpoints are
+    # not portable across impls — the key array shape differs).
+    prng_impl: str = "rbg"  # rbg | threefry2x32
 
 
 @dataclass(frozen=True)

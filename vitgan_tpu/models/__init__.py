@@ -43,6 +43,12 @@ class GANBundle:
     discriminator_apply: Callable[..., Tuple[Any, Any]]
     latent_dim: int
     image_shape: Tuple[int, int, int]  # (H, W, C)
+    # True when D carries batch statistics (BatchNorm): the train step must
+    # then run real/fake through SEPARATE forwards (two running-stat updates,
+    # torch-reference semantics).  Stat-free discriminators (ViT, MLP — ISR
+    # state depends only on weights) use one concatenated forward instead,
+    # halving D-forward kernel dispatches with identical math.
+    d_has_batch_stats: bool = False
 
     def sample_latent(self, rng: jax.Array, batch: int):
         """Fresh generator input noise (ref:src/v2/training.py:35-42 role)."""
@@ -62,6 +68,7 @@ def build_gan(cfg: ExperimentConfig) -> GANBundle:
         discriminator_apply=partial(mod.discriminator_apply, cfg=mcfg),
         latent_dim=mcfg.latent_dim,
         image_shape=(mcfg.image_size, mcfg.image_size, mcfg.channels),
+        d_has_batch_stats=cfg.family in ("dcgan", "cnn"),
     )
 
 

@@ -46,6 +46,9 @@ def on_tpu() -> bool:
 def apply_from_runtime(runtime_cfg) -> None:
     """Configure from a RuntimeConfig (vitgan_tpu.config.RuntimeConfig)."""
     set_policy(mode=runtime_cfg.use_pallas, remat=runtime_cfg.remat)
+    impl = getattr(runtime_cfg, "prng_impl", None)
+    if impl:
+        jax.config.update("jax_default_prng_impl", impl)
     enable_persistent_compilation_cache()
 
 

@@ -51,14 +51,24 @@ def make_raw_train_step(gan: GANBundle, cfg: ExperimentConfig):
 
     augment_spec = cfg.run.diff_augment
 
+    concat_d = not gan.d_has_batch_stats
+
     def step(state: TrainState, real: jnp.ndarray) -> Tuple[TrainState, Dict[str, Any]]:
         (rng, k_noise, k_gen, k_d_real, k_d_fake, k_d_fake2, k_gp, k_in,
          k_a1, k_a2, k_a3) = jax.random.split(state.rng, 11)
         real = real.astype(dtype)
         z = gan.sample_latent(k_noise, real.shape[0]).astype(dtype)
 
-        # One fake batch; reused detached for the D update (ref:src/v1/gan.py:231-239).
-        fake, _ = gan.generator_apply(state.g_vars, z, rng=k_gen, train=True)
+        # ONE generator forward for the whole step, with its VJP captured: the
+        # primal ``fake`` feeds the D update detached (ref:src/v1/gan.py:231-239)
+        # and the G update pulls its image-space gradient back through the same
+        # linearization — the reference recomputes this forward (same params,
+        # same rng => identical value), we don't.
+        def g_forward(g_params):
+            return gan.generator_apply({"params": g_params, "state": state.g_state},
+                                       z, rng=k_gen, train=True)
+
+        fake, g_vjp, g_state = jax.vjp(g_forward, state.g_params, has_aux=True)
         fake_sg = jax.lax.stop_gradient(fake)
 
         d_real_in, d_fake_in = real, fake_sg
@@ -75,12 +85,26 @@ def make_raw_train_step(gan: GANBundle, cfg: ExperimentConfig):
         # ---------------- D update ----------------
         def d_loss_fn(d_params):
             dv = {"params": d_params, "state": state.d_state}
-            real_logits, d_state1 = gan.discriminator_apply(
-                dv, d_real_in, rng=k_d_real, train=True, update_state=True
-            )
-            fake_logits, d_state2 = gan.discriminator_apply(
-                {"params": d_params, "state": d_state1}, d_fake_in, rng=k_d_fake, train=True
-            )
+            if concat_d:
+                # Stat-free D: one forward over [real; fake] — identical math,
+                # twice the rows per kernel (better MXU tiling), half the
+                # dispatches.  BatchNorm discriminators keep two forwards so
+                # running stats see pure-real and pure-fake batches (torch
+                # reference semantics).
+                b = d_real_in.shape[0]
+                logits, d_state2 = gan.discriminator_apply(
+                    dv, jnp.concatenate([d_real_in, d_fake_in], axis=0),
+                    rng=k_d_real, train=True, update_state=True
+                )
+                real_logits, fake_logits = logits[:b], logits[b:]
+            else:
+                real_logits, d_state1 = gan.discriminator_apply(
+                    dv, d_real_in, rng=k_d_real, train=True, update_state=True
+                )
+                fake_logits, d_state2 = gan.discriminator_apply(
+                    {"params": d_params, "state": d_state1}, d_fake_in,
+                    rng=k_d_fake, train=True
+                )
             if use_wgan:
                 k_gp_eps, k_gp_drop = jax.random.split(k_gp)
                 gp = LO.gradient_penalty(
@@ -111,26 +135,28 @@ def make_raw_train_step(gan: GANBundle, cfg: ExperimentConfig):
         d_state = d_aux["d_state"]
 
         # ---------------- G update (against updated D, ref:src/v1/gan.py:242-252) ----
-        def g_loss_fn(g_params):
-            gv = {"params": g_params, "state": state.g_state}
-            fake2, g_state2 = gan.generator_apply(gv, z, rng=k_gen, train=True)
-            fake2_in = fake2
+        # Image-space loss differentiated at ``fake``, chained through the
+        # captured generator VJP: dL/dg = g_vjp(dL/dfake).  Mathematically the
+        # reference's recompute-and-backprop, minus one full G forward.
+        def g_image_loss(fake_img):
+            fake_in = fake_img
             if augment_spec:  # differentiable augment on the G path too
                 from vitgan_tpu.ops.augment import apply_augment
 
-                fake2_in = apply_augment(k_a3, fake2, augment_spec)
+                fake_in = apply_augment(k_a3, fake_img, augment_spec)
             fake_logits, _ = gan.discriminator_apply(
-                {"params": d_params, "state": d_state}, fake2_in, rng=k_d_fake2, train=True
+                {"params": d_params, "state": d_state}, fake_in, rng=k_d_fake2, train=True
             )
             if use_wgan:
                 loss = LO.wasserstein_g_loss(fake_logits)
                 if mcfg.diversity_weight > 0:  # ref:src/v2/training.py:85-88
-                    loss = loss - mcfg.diversity_weight * LO.diversity_loss(fake2)
+                    loss = loss - mcfg.diversity_weight * LO.diversity_loss(fake_img)
             else:
                 loss = LO.g_adversarial_loss(criterion, fake_logits)
-            return loss, g_state2
+            return loss
 
-        (g_loss, g_state), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+        g_loss, d_fake_img = jax.value_and_grad(g_image_loss)(fake)
+        (g_grads,) = g_vjp(d_fake_img)
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
         g_ema = state.g_ema
