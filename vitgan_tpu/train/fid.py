@@ -111,7 +111,59 @@ def make_random_conv_extractor(channels: int = 3, seed: int = 42,
     features = jax.jit(lambda x_u8: random_conv_features(params, x_u8, feature_dim))
     fn = lambda imgs: np.asarray(features(jnp.asarray(imgs)))  # noqa: E731
     fn.jax_params = params  # expose for the on-device FID path
+    fn.jax_feature_fn = lambda x_u8: random_conv_features(params, x_u8, feature_dim)
     fn.feature_dim = feature_dim
+    return fn
+
+
+def inception_weights_path() -> Optional[str]:
+    """Locate ported InceptionV3 weights: $INCEPTION_WEIGHTS, else
+    $SCRATCH/inception/fid_inception.npz (see scripts/port_inception.py)."""
+    import os
+
+    p = os.environ.get("INCEPTION_WEIGHTS")
+    if p and os.path.exists(p):
+        return p
+    scratch = os.environ.get("SCRATCH", ".")
+    p = os.path.join(scratch, "inception", "fid_inception.npz")
+    return p if os.path.exists(p) else None
+
+
+def make_inception_jax_extractor(weights_path: Optional[str] = None,
+                                 batch: int = 64) -> Callable[[np.ndarray], np.ndarray]:
+    """JAX/TPU InceptionV3 pool3 features (2048-d), parity-verified against a
+    torch mirror of the torchmetrics FID model (scripts/port_inception.py).
+
+    Requires ported weights on disk (.npz via port_inception.py, or a raw
+    torch .pth which is converted on the fly) — zero-egress environments
+    cannot download them, so this raises FileNotFoundError when absent and
+    ``make_feature_extractor("auto")`` falls back to random_conv.
+    """
+    from vitgan_tpu.models import inception as I
+
+    path = weights_path or inception_weights_path()
+    if path is None:
+        raise FileNotFoundError(
+            "no InceptionV3 weights found (set $INCEPTION_WEIGHTS or run "
+            "scripts/port_inception.py <torchvision .pth> <out.npz>)")
+    if path.endswith((".pth", ".pt")):
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        params = I.convert_torch_state_dict(sd.get("state_dict", sd))
+    else:
+        params = I.load_params(path)
+    params = jax.device_put(params)
+    features = jax.jit(lambda x_u8: I.inception_features(params, x_u8))
+
+    def fn(imgs: np.ndarray) -> np.ndarray:
+        imgs = np.asarray(imgs)
+        out = [np.asarray(features(jnp.asarray(imgs[i:i + batch])))
+               for i in range(0, len(imgs), batch)]
+        return np.concatenate(out, 0)
+
+    fn.jax_feature_fn = lambda x_u8: I.inception_features(params, x_u8)
+    fn.feature_dim = I.FEATURE_DIM
     return fn
 
 
@@ -138,11 +190,19 @@ def make_inception_extractor() -> Callable[[np.ndarray], np.ndarray]:
 
 
 def make_feature_extractor(name: str = "auto", channels: int = 3):
-    if name == "inception":
+    """auto: ported JAX Inception weights if present, else torch-CPU
+    torchvision Inception if importable, else the random-conv proxy."""
+    if name in ("inception", "inception_jax"):
+        return make_inception_jax_extractor()
+    if name == "inception_torch":
         return make_inception_extractor()
     if name == "random_conv":
         return make_random_conv_extractor(channels)
     if name == "auto":
+        try:
+            return make_inception_jax_extractor()
+        except Exception:
+            pass
         try:
             return make_inception_extractor()
         except Exception:
@@ -156,7 +216,8 @@ def make_feature_extractor(name: str = "auto", channels: int = 3):
 
 
 def make_on_device_fid(gan, cfg, extractor_params, batch_size: int,
-                       n_batches: int, feature_dim: int = 512):
+                       n_batches: int, feature_dim: int = 512,
+                       feature_fn: Optional[Callable] = None):
     """Build a jitted (g_vars, dataset_u8, real_idx, rng) -> moments function.
 
     Real batches are gathered from the device-resident uint8 dataset; fake
@@ -164,12 +225,18 @@ def make_on_device_fid(gan, cfg, extractor_params, batch_size: int,
     and quantized to uint8 like the host path.  Everything — generator forwards,
     feature extraction, running moment sums — stays on device; the caller pulls
     four small arrays once and finishes the Frechet math on host.
+
+    ``feature_fn`` (u8 NHWC -> (N, feature_dim) f32, pure/jittable) selects the
+    featurizer — e.g. an extractor's ``.jax_feature_fn`` (JAX Inception or the
+    random-conv proxy).  Default: random_conv with ``extractor_params``.
     """
     from vitgan_tpu.train.step import _compute_dtype
 
     dtype = _compute_dtype(cfg)
 
     def feats_of_u8(x_u8):
+        if feature_fn is not None:
+            return feature_fn(x_u8)
         return random_conv_features(extractor_params, x_u8, feature_dim)
 
     @jax.jit

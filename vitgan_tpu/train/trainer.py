@@ -201,12 +201,13 @@ class Trainer:
         b = self.cfg.model.batch_size
         # On-device FID when the dataset is chip-resident and the extractor is
         # the JAX one: a single device call + one small host pull.
-        if self._device_dataset is not None and hasattr(self.extractor, "jax_params"):
+        if self._device_dataset is not None and hasattr(self.extractor, "jax_feature_fn"):
             n_batches = max(1, num_samples // b)
             if getattr(self, "_fid_n_batches", None) != n_batches:
                 self._fid_fn = FID.make_on_device_fid(
-                    self.gan, self.cfg, self.extractor.jax_params, b, n_batches,
+                    self.gan, self.cfg, None, b, n_batches,
                     self.extractor.feature_dim,
+                    feature_fn=self.extractor.jax_feature_fn,
                 )
                 self._fid_n_batches = n_batches
             rng_np = np.random.default_rng(int(self.state.step))
