@@ -45,7 +45,12 @@ def _collect_overrides(args) -> dict:
 def _build_cfg(args) -> "ExperimentConfig":
     from vitgan_tpu import config as C
 
-    if C.dev_mode():
+    preset = getattr(args, "preset", None)
+    if preset:  # explicit preset wins over DEV shrinking; --set still applies
+        cfg = {"deit64": C.deit64_config,
+               "highres128": lambda: C.highres_config(128),
+               "highres256": lambda: C.highres_config(256)}[preset]()
+    elif C.dev_mode():
         cfg = C.smoke_config(args.family)
     else:
         cfg = C.ExperimentConfig(family=args.family)
@@ -144,6 +149,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--seed", type=int, default=None)
         sp.add_argument("--loss", choices=["bce", "mse", "wgan-gp"], default=None)
         sp.add_argument("--run-name", default=None)
+        sp.add_argument("--preset", choices=["deit64", "highres128", "highres256"],
+                        default=None,
+                        help="BASELINE configs #4/#5 (64px DeiT-D, 128/256px deep G)")
         sp.add_argument("--set", action="append", metavar="dotted.key=value",
                         help="raw config override, e.g. --set v2.depth=8")
 

@@ -130,7 +130,16 @@ def load_dataset(
         return synthetic_dataset(synthetic_samples, image_size, channels, seed=seed)
     root = root or default_data_dir(name)
     if name == "cifar10":
-        return load_cifar10(root, train)
-    if name == "mnist":
-        return load_mnist(root, train)
-    raise ValueError(f"unknown dataset {name!r}")
+        x, y = load_cifar10(root, train)
+    elif name == "mnist":
+        x, y = load_mnist(root, train)
+    else:
+        raise ValueError(f"unknown dataset {name!r}")
+    if x.shape[1] != image_size or x.shape[2] != image_size:
+        # Resize(shorter side) -> CenterCrop, the reference's transform chain
+        # (ref:src/v1/utils.py:124-131) — enables 64px/128px/256px configs on
+        # real datasets, not just synthetic.
+        from vitgan_tpu.data.transforms import reference_transforms
+
+        x = reference_transforms(x, image_size)
+    return x, y

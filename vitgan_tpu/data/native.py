@@ -40,7 +40,10 @@ def load_library() -> ctypes.CDLL:
     with _BUILD_LOCK:
         if _LIB is not None:
             return _LIB
-        if not os.path.exists(_LIB_PATH):
+        src = os.path.join(_NATIVE_DIR, "loader.cpp")
+        stale = (os.path.exists(src) and os.path.exists(_LIB_PATH)
+                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+        if not os.path.exists(_LIB_PATH) or stale:
             _build()
         lib = ctypes.CDLL(_LIB_PATH)
         lib.gather_normalize.restype = ctypes.c_int
@@ -54,8 +57,32 @@ def load_library() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64,
         ]
+        lib.resize_bilinear_u8.restype = ctypes.c_int
+        lib.resize_bilinear_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ]
         _LIB = lib
         return lib
+
+
+def native_resize_bilinear(images_u8: np.ndarray, out_h: int, out_w: int,
+                           num_threads: Optional[int] = None) -> np.ndarray:
+    """Threaded PIL-semantics bilinear resize (native/loader.cpp)."""
+    lib = load_library()
+    images_u8 = np.ascontiguousarray(images_u8, np.uint8)
+    n, h, w, c = images_u8.shape
+    out = np.empty((n, out_h, out_w, c), np.uint8)
+    rc = lib.resize_bilinear_u8(
+        images_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, h, w, c, out_h, out_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        num_threads or max(1, os.cpu_count() or 1),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native resize_bilinear_u8 failed with code {rc}")
+    return out
 
 
 class NativeBatcher:
