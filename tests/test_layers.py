@@ -149,3 +149,42 @@ def test_mhsa_spectral_integration(rng):
     y, s2 = L.mhsa(p, s, x, score_mode="l2", update_state=True)
     assert y.shape == (2, 5, 16)
     assert not np.array_equal(np.asarray(s2["isr"]["u"]), np.asarray(s["isr"]["u"]))
+
+
+@pytest.mark.parametrize("mode", ["dot", "l2", "l2ref"])
+def test_head_padding_is_exact(rng, mode):
+    """Zero-padding head_dim to the 128 lane tile must not change outputs:
+    padded q/k dims contribute nothing to dot or L2 scores and the padded
+    out-projection rows are zero."""
+    from vitgan_tpu.ops import policy
+
+    p, s = L.mhsa_init(rng, 96, 2, head_dim=48, spectral=(mode != "dot"),
+                       qkv_bias=True)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 7, 96))
+    old = policy.get_policy()["head_pad"]
+    try:
+        policy.set_policy(head_pad="never")
+        y0, _ = L.mhsa(p, s, x, score_mode=mode)
+        policy.set_policy(head_pad="always")
+        y1, _ = L.mhsa(p, s, x, score_mode=mode)
+    finally:
+        policy.set_policy(head_pad=old)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-5, atol=1e-6)
+
+
+def test_head_pad_amount_policy():
+    from vitgan_tpu.ops import policy
+
+    old = policy.get_policy()["head_pad"]
+    try:
+        policy.set_policy(head_pad="always")
+        assert policy.head_pad_amount(108) == 20
+        assert policy.head_pad_amount(96) == 32
+        assert policy.head_pad_amount(128) == 0
+        policy.set_policy(head_pad="never")
+        assert policy.head_pad_amount(108) == 0
+        policy.set_policy(head_pad="auto")  # CPU test env: auto never pads
+        assert policy.head_pad_amount(108) == (20 if policy.on_tpu() else 0)
+        assert policy.head_pad_amount(32) == 0  # small heads never auto-pad
+    finally:
+        policy.set_policy(head_pad=old)

@@ -127,6 +127,26 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Long-lived batched sampling server (vitgan_tpu/serve.py)."""
+    from vitgan_tpu.serve import serve
+    from vitgan_tpu.utils.run_dirs import latest_run
+
+    run_dir = args.run_dir or latest_run()
+    if run_dir is None:
+        print("no run directory found", file=sys.stderr)
+        return 1
+    httpd = serve(run_dir, host=args.host, port=args.port, batch=args.batch,
+                  best=args.best)
+    print(f"serving {run_dir} on http://{args.host}:{httpd.server_address[1]} "
+          f"(GET /healthz, POST /sample)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+    return 0
+
+
 def cmd_sweep(args) -> int:
     from vitgan_tpu.hpo.sweep import run_sweep
 
@@ -166,6 +186,14 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--best", action="store_true", help="use the best-FID checkpoint")
     g.add_argument("--num-images", type=int, default=64)
     g.set_defaults(fn=cmd_generate)
+
+    v = sub.add_parser("serve", help="batched sampling server over HTTP")
+    v.add_argument("--run-dir", default=None, help="defaults to latest under $SCRATCH/output")
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8000)
+    v.add_argument("--batch", type=int, default=64, help="fixed device batch per call")
+    v.add_argument("--best", action="store_true", help="use the best-FID checkpoint")
+    v.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("sweep", help="hyperparameter sweep (Ray-free)")
     common(s)

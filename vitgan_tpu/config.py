@@ -245,6 +245,9 @@ class RuntimeConfig:
     # threefry mask hashing (still fully deterministic per key; checkpoints are
     # not portable across impls — the key array shape differs).
     prng_impl: str = "rbg"  # rbg | threefry2x32
+    # Zero-pad per-head attention width to the 128-lane MXU tile (exact math;
+    # 'auto' pads on TPU when head_dim >= 64 — the badly-aligned v1 widths).
+    head_pad: str = "auto"  # auto | always | never
 
 
 @dataclass(frozen=True)
@@ -262,6 +265,7 @@ class DataConfig:
     # on-device (single-device meshes, datasets <= on_device_max_bytes).
     on_device: bool = True
     on_device_max_bytes: int = 1 << 29
+    synthetic_samples: int = 2048  # dataset size when dataset == "synthetic"
 
 
 @dataclass(frozen=True)

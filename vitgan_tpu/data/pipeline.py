@@ -68,6 +68,10 @@ class HostDataPipeline:
         # batch, so the global batch is disjoint across hosts (SURVEY §5.8).
         self.process_index = process_index if process_index is not None else jax.process_index()
         self.process_count = process_count if process_count is not None else jax.process_count()
+        if self.process_count > 1 and batch_size % self.process_count != 0:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"process count {self.process_count}")
         self._rng = np.random.default_rng(seed)
         self._native = None
         try:  # optional C++ fast path
@@ -111,8 +115,15 @@ class HostDataPipeline:
     def _device_put(self, batch):
         if self.mesh is None:
             return jax.tree.map(jax.device_put, batch)
+        # make_array_from_process_local_data assembles the GLOBAL sharded array
+        # from each process's local slice — the correct multi-host incantation
+        # (plain device_put of a local slice would mis-shard across hosts).
+        # With one process it is exactly device_put-with-sharding, so the
+        # multi-host code path is the one every single-host run exercises too.
         return jax.tree.map(
-            lambda a: jax.device_put(a, batch_sharding(self.mesh, ndim=a.ndim)), batch
+            lambda a: jax.make_array_from_process_local_data(
+                batch_sharding(self.mesh, ndim=a.ndim), np.asarray(a)),
+            batch,
         )
 
     def epoch(self) -> Iterator[Tuple[jax.Array, jax.Array]]:

@@ -297,11 +297,26 @@ def mhsa(params: Params, state: Params, x: jnp.ndarray, *, score_mode: str = "do
         qkv_w, new_state["isr"] = spectral_rescale(qkv_w, state["isr"], update_state)
     _, num_heads, _, head_dim = qkv_w.shape
     if scale is None:
-        scale = num_heads * head_dim
+        scale = num_heads * head_dim  # real width — before any lane padding
+    qkv_b = params.get("qkv_b")
+    out_p = params["out"]
+    # Lane alignment: zero-pad head_dim to the 128-wide MXU tile (exact for
+    # dot and L2 scores and for the zero out-rows; see policy.head_pad_amount).
+    from vitgan_tpu.ops.policy import head_pad_amount
+
+    pad = head_pad_amount(head_dim)
+    if pad:
+        qkv_w = jnp.pad(qkv_w, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        if qkv_b is not None:
+            qkv_b = jnp.pad(qkv_b, ((0, 0), (0, 0), (0, pad)))
+        ow = out_p["w"].reshape(num_heads, head_dim, -1)
+        ow = jnp.pad(ow, ((0, 0), (0, pad), (0, 0)))
+        out_p = {**out_p, "w": ow.reshape(num_heads * (head_dim + pad), -1)}
+        head_dim += pad
     qkv = jnp.einsum("bnd,phde->pbhne", x, qkv_w.astype(x.dtype),
                      preferred_element_type=x.dtype)
-    if "qkv_b" in params:
-        qkv = qkv + params["qkv_b"].astype(x.dtype)[:, None, :, None, :]
+    if qkv_b is not None:
+        qkv = qkv + qkv_b.astype(x.dtype)[:, None, :, None, :]
     q, k, v = qkv[0], qkv[1], qkv[2]
     # Policy-routed hot loop: Pallas flash kernel on TPU for long sequences,
     # fused XLA attention otherwise (see vitgan_tpu.ops.attention).
@@ -309,4 +324,4 @@ def mhsa(params: Params, state: Params, x: jnp.ndarray, *, score_mode: str = "do
 
     out = dispatch_attention(q, k, v, score_mode, float(scale))
     out = out.transpose(0, 2, 1, 3).reshape(*x.shape[:-1], num_heads * head_dim)
-    return dense(params["out"], out), new_state
+    return dense(out_p, out), new_state

@@ -12,11 +12,13 @@ from __future__ import annotations
 
 import jax
 
-_POLICY = {"mode": "auto", "min_seq_len": 256, "min_mlp_rows": 2048, "remat": False}
+_POLICY = {"mode": "auto", "min_seq_len": 256, "min_mlp_rows": 2048, "remat": False,
+           "head_pad": "auto"}
 
 
 def set_policy(mode: str | None = None, min_seq_len: int | None = None,
-               min_mlp_rows: int | None = None, remat: bool | None = None) -> None:
+               min_mlp_rows: int | None = None, remat: bool | None = None,
+               head_pad: str | None = None) -> None:
     if mode is not None:
         assert mode in ("auto", "always", "never"), mode
         _POLICY["mode"] = mode
@@ -26,6 +28,29 @@ def set_policy(mode: str | None = None, min_seq_len: int | None = None,
         _POLICY["min_mlp_rows"] = min_mlp_rows
     if remat is not None:
         _POLICY["remat"] = remat
+    if head_pad is not None:
+        assert head_pad in ("auto", "always", "never"), head_pad
+        _POLICY["head_pad"] = head_pad
+
+
+def head_pad_amount(head_dim: int) -> int:
+    """Zero-pad per-head width up to the TPU lane width (128).
+
+    The MXU tiles the minor dimension at 128: a 96- or 108-wide head wastes a
+    partially-filled tile on every attention matmul (the v1 family's widths).
+    Padding with zeros is mathematically exact for dot AND L2 scores (zero
+    dims contribute nothing to q.k or |q-k|^2) and for the output projection
+    (zero rows).  'auto' pads only on TPU and only when the relative FLOP
+    overhead is small (head_dim >= 64 — padding a 32-wide v2 head would 4x
+    the attention FLOPs for no tiling gain).
+    """
+    mode = _POLICY["head_pad"]
+    pad = (-head_dim) % 128
+    if mode == "never" or pad == 0:
+        return 0
+    if mode == "always":
+        return pad
+    return pad if (head_dim >= 64 and on_tpu()) else 0
 
 
 def get_policy() -> dict:
@@ -45,7 +70,8 @@ def on_tpu() -> bool:
 
 def apply_from_runtime(runtime_cfg) -> None:
     """Configure from a RuntimeConfig (vitgan_tpu.config.RuntimeConfig)."""
-    set_policy(mode=runtime_cfg.use_pallas, remat=runtime_cfg.remat)
+    set_policy(mode=runtime_cfg.use_pallas, remat=runtime_cfg.remat,
+               head_pad=getattr(runtime_cfg, "head_pad", None))
     impl = getattr(runtime_cfg, "prng_impl", None)
     if impl:
         jax.config.update("jax_default_prng_impl", impl)

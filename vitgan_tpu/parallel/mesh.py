@@ -76,9 +76,19 @@ def shard_pytree_replicated(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
-def local_batch_size(global_batch: int, mesh: Mesh) -> int:
-    """Per-host slice of the global batch for multi-host data loading."""
+def local_batch_size(global_batch: int, mesh: Mesh,
+                     process_count: Optional[int] = None) -> int:
+    """Per-host slice of the global batch for multi-host data loading.
+
+    Hosts take equal contiguous slices (data/pipeline.py epoch slicing), so
+    the global batch must divide by BOTH the data-axis size (sharding) and
+    the process count (loading) — the two checks are distinct because a host
+    can drive several mesh devices.
+    """
     n_data = mesh.shape[mesh.axis_names[0]]
+    pc = process_count if process_count is not None else jax.process_count()
     if global_batch % n_data != 0:
         raise ValueError(f"global batch {global_batch} not divisible by data axis {n_data}")
-    return global_batch // jax.process_count()
+    if global_batch % pc != 0:
+        raise ValueError(f"global batch {global_batch} not divisible by process count {pc}")
+    return global_batch // pc

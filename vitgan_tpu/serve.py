@@ -1,0 +1,159 @@
+"""Batched sampling server: serve a trained generator over HTTP.
+
+The reference's only inference surface is a script that writes one PNG grid
+(ref:src/v2/generation.py:26-60).  This is the production-shaped equivalent:
+a long-lived process that keeps the generator jitted and the params resident
+on the TPU, amortizing compilation across requests and batching every request
+to one fixed device shape (no retraces, no shape churn).
+
+Endpoints (stdlib http.server — zero new dependencies):
+
+- ``GET  /healthz``            -> JSON model/run info
+- ``POST /sample``             -> body {"n": int, "seed": int?, "format": "png"|"npy"}
+  returns an image grid (image/png) or raw [-1,1] float32 samples
+  (application/octet-stream, .npy bytes).  ``n`` is served by slicing one or
+  more fixed-batch generator calls, so arbitrary n never recompiles.
+
+Start:  python -m vitgan_tpu.cli serve --run-dir <run> --port 8000
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+class SamplerService:
+    """Thread-safe batched sampler around a restored train state."""
+
+    def __init__(self, cfg, gan, g_vars, batch: int = 64):
+        from vitgan_tpu.train import make_sample_fn
+
+        self.cfg = cfg
+        self.gan = gan
+        self.g_vars = g_vars
+        self.batch = batch
+        self._sample = make_sample_fn(gan, cfg)
+        self._lock = threading.Lock()  # one device user at a time
+        self._counter = 0
+        # Warm the compile so the first request is fast.
+        z = gan.sample_latent(jax.random.PRNGKey(0), batch)
+        jax.block_until_ready(self._sample(g_vars, z))
+
+    def info(self) -> dict:
+        m = self.cfg.model
+        return {
+            "family": self.cfg.family,
+            "image_size": m.image_size,
+            "channels": m.channels,
+            "batch": self.batch,
+            "device": str(jax.devices()[0]),
+            "requests_served": self._counter,
+        }
+
+    def sample(self, n: int, seed: Optional[int] = None) -> np.ndarray:
+        """n images in [-1,1], served from ceil(n/batch) fixed-shape calls."""
+        if n < 1:
+            raise ValueError("n must be >= 1")
+        with self._lock:
+            if seed is None:
+                seed = self._counter
+            self._counter += 1
+            out = []
+            done = 0
+            call = 0
+            while done < n:
+                rng = jax.random.fold_in(jax.random.PRNGKey(seed), call)
+                z = self.gan.sample_latent(rng, self.batch)
+                imgs = np.asarray(self._sample(self.g_vars, z))
+                take = min(self.batch, n - done)
+                out.append(imgs[:take])
+                done += take
+                call += 1
+            return np.concatenate(out, 0)
+
+
+def load_service(run_dir: str, batch: int = 64, best: bool = False) -> SamplerService:
+    """Restore a run's config + checkpoint into a SamplerService (EMA params
+    when tracked — the same weights FID/best tracking use)."""
+    import os
+
+    from vitgan_tpu import config as C
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.ops.policy import apply_from_runtime
+    from vitgan_tpu.train import create_train_state
+    from vitgan_tpu.utils.checkpoint import CheckpointManager
+
+    cfg_path = os.path.join(run_dir, "config.json")
+    cfg = C.load_config(cfg_path) if os.path.exists(cfg_path) else C.ExperimentConfig()
+    apply_from_runtime(cfg.runtime)
+    gan = build_gan(cfg)
+    state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
+    mgr = CheckpointManager(os.path.join(run_dir, "checkpoints"))
+    state, _meta = mgr.restore(state, best=best)
+    return SamplerService(cfg, gan, state.g_vars_ema, batch=batch)
+
+
+def _make_handler(service: SamplerService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through one line, not stderr spam
+            pass
+
+        def _reply(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, code: int, obj) -> None:
+            self._reply(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, service.info())
+            else:
+                self._json(404, {"error": "unknown path (try /healthz, POST /sample)"})
+
+        def do_POST(self):
+            if self.path != "/sample":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                n = int(req.get("n", 16))
+                if not 1 <= n <= 4096:
+                    raise ValueError("n must be in [1, 4096]")
+                imgs = service.sample(n, req.get("seed"))
+                fmt = req.get("format", "png")
+                if fmt == "npy":
+                    buf = io.BytesIO()
+                    np.save(buf, imgs)
+                    self._reply(200, buf.getvalue(), "application/octet-stream")
+                elif fmt == "png":
+                    from vitgan_tpu.utils.images import make_grid, to_png_bytes
+
+                    self._reply(200, to_png_bytes(make_grid(imgs)), "image/png")
+                else:
+                    raise ValueError(f"unknown format {fmt!r}")
+            except Exception as e:  # noqa: BLE001 — report, don't kill the server
+                self._json(400, {"error": str(e)})
+
+    return Handler
+
+
+def serve(run_dir: str, host: str = "127.0.0.1", port: int = 8000,
+          batch: int = 64, best: bool = False) -> ThreadingHTTPServer:
+    """Build the service and return a ready (unstarted) HTTP server; call
+    ``serve_forever()`` on it (the CLI does) or drive it from tests."""
+    service = load_service(run_dir, batch=batch, best=best)
+    httpd = ThreadingHTTPServer((host, port), _make_handler(service))
+    httpd.service = service  # exposed for tests/introspection
+    return httpd

@@ -58,6 +58,7 @@ class Trainer:
         self.pipeline = make_pipeline(
             cfg.data, m.batch_size, m.image_size, m.channels,
             mesh=self.mesh, seed=m.seed,
+            synthetic_samples=cfg.data.synthetic_samples,
         )
         self.train_step = make_train_step(self.gan, cfg, donate=cfg.runtime.donate_state)
         self.steps_per_call = max(1, cfg.run.steps_per_call)

@@ -52,6 +52,20 @@ def save_png(path: str, image_hwc: np.ndarray) -> None:
         plt.imsave(path, arr)
 
 
+def to_png_bytes(image_hwc: np.ndarray) -> bytes:
+    """Encode one (H, W, C) uint8 image as PNG bytes (serving path)."""
+    import io
+
+    arr = np.asarray(image_hwc)
+    if arr.shape[-1] == 1:
+        arr = np.repeat(arr, 3, axis=-1)
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
 def save_image_grid(path: str, images: np.ndarray, nrow: Optional[int] = None) -> None:
     save_png(path, make_grid(images, nrow=nrow))
 
