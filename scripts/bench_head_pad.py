@@ -1,13 +1,13 @@
-"""A/B the MXU head-padding policy on the v1 family (108-wide heads).
+"""A/B the MXU head-padding policy (vitgan_tpu/ops/policy.py:head_pad_amount).
 
 ``runtime.head_pad`` zero-pads per-head attention width to the 128-lane MXU
-tile (exact math — see vitgan_tpu/ops/policy.py:head_pad_amount).  The v1
-paper config is the motivating case: 4 heads x 108 = 432-wide tokens, so
-every attention matmul otherwise runs a partially-filled lane tile.  This
-script measures the same scanned production path as scripts/bench_suite.py
-with head_pad=never vs head_pad=always and prints one JSON line.
+tile (exact math).  Motivating cases: v1's 4x108-wide heads (non-tile width)
+and deit64/hires' 64-wide heads (half tile).  Measures the same scanned
+production path as scripts/bench_suite.py — full production runtime applied
+(rbg PRNG, persistent cache) — with head_pad=never vs head_pad=always and
+prints one JSON line.
 
-Usage: python scripts/bench_head_pad.py [scan_steps] [iters]
+Usage: python scripts/bench_head_pad.py [family=v1|deit64|hires128] [scan_steps] [iters]
 """
 
 import json
@@ -24,14 +24,23 @@ from vitgan_tpu.ops.policy import enable_persistent_compilation_cache
 
 enable_persistent_compilation_cache()
 from vitgan_tpu.models import build_gan  # noqa: E402
-from vitgan_tpu.ops.policy import set_policy  # noqa: E402
+from vitgan_tpu.ops.policy import apply_from_runtime, set_policy  # noqa: E402
 from vitgan_tpu.train import create_train_state  # noqa: E402
 from vitgan_tpu.train.step import make_device_data_train_fn  # noqa: E402
 from vitgan_tpu.utils.timing import sync_timeit  # noqa: E402
 
 
-def measure(head_pad: str, scan_steps: int, iters: int) -> float:
-    cfg = C.ExperimentConfig(family="v1", data=C.DataConfig(dataset="synthetic"))
+def build_cfg(family: str) -> C.ExperimentConfig:
+    syn = C.DataConfig(dataset="synthetic")
+    if family == "deit64":
+        return C.replace(C.deit64_config(), data=syn)
+    if family == "hires128":
+        return C.replace(C.highres_config(128), data=syn)
+    return C.ExperimentConfig(family=family, data=syn)
+
+
+def measure(cfg: C.ExperimentConfig, head_pad: str, scan_steps: int, iters: int) -> float:
+    apply_from_runtime(cfg.runtime)  # production runtime: rbg PRNG, cache
     set_policy(head_pad=head_pad)
     m = cfg.model
     gan = build_gan(cfg)
@@ -46,12 +55,14 @@ def measure(head_pad: str, scan_steps: int, iters: int) -> float:
 
 
 def main():
-    scan_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-    never = measure("never", scan_steps, iters)
-    always = measure("always", scan_steps, iters)
+    family = sys.argv[1] if len(sys.argv) > 1 else "v1"
+    scan_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    cfg = build_cfg(family)
+    never = measure(cfg, "never", scan_steps, iters)
+    always = measure(cfg, "always", scan_steps, iters)
     print(json.dumps({
-        "metric": "v1 train-step img/s, head_pad A/B (108 -> 128 lanes)",
+        "metric": f"{family} train-step img/s, head_pad A/B",
         "img_per_sec_head_pad_never": round(never, 1),
         "img_per_sec_head_pad_always": round(always, 1),
         "speedup": round(always / never, 3),

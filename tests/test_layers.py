@@ -183,8 +183,8 @@ def test_head_pad_amount_policy():
         assert policy.head_pad_amount(128) == 0
         policy.set_policy(head_pad="never")
         assert policy.head_pad_amount(108) == 0
-        policy.set_policy(head_pad="auto")  # CPU test env: auto never pads
-        assert policy.head_pad_amount(108) == (20 if policy.on_tpu() else 0)
-        assert policy.head_pad_amount(32) == 0  # small heads never auto-pad
+        policy.set_policy(head_pad="auto")  # auto never pads (measured neutral-to-negative on chip)
+        assert policy.head_pad_amount(108) == 0
+        assert policy.head_pad_amount(32) == 0
     finally:
         policy.set_policy(head_pad=old)

@@ -245,8 +245,9 @@ class RuntimeConfig:
     # threefry mask hashing (still fully deterministic per key; checkpoints are
     # not portable across impls — the key array shape differs).
     prng_impl: str = "rbg"  # rbg | threefry2x32
-    # Zero-pad per-head attention width to the 128-lane MXU tile (exact math;
-    # 'auto' pads on TPU when head_dim >= 64 — the badly-aligned v1 widths).
+    # Zero-pad per-head attention width to the 128-lane MXU tile (exact math).
+    # Measured A/B on v5e: no win (XLA tiles partial lanes well), so 'auto'
+    # never pads; 'always' remains as an experiment knob.
     head_pad: str = "auto"  # auto | always | never
 
 

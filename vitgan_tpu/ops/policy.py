@@ -36,21 +36,20 @@ def set_policy(mode: str | None = None, min_seq_len: int | None = None,
 def head_pad_amount(head_dim: int) -> int:
     """Zero-pad per-head width up to the TPU lane width (128).
 
-    The MXU tiles the minor dimension at 128: a 96- or 108-wide head wastes a
-    partially-filled tile on every attention matmul (the v1 family's widths).
     Padding with zeros is mathematically exact for dot AND L2 scores (zero
     dims contribute nothing to q.k or |q-k|^2) and for the output projection
-    (zero rows).  'auto' pads only on TPU and only when the relative FLOP
-    overhead is small (head_dim >= 64 — padding a 32-wide v2 head would 4x
-    the attention FLOPs for no tiling gain).
+    (zero rows).  Measured A/B on the v5e chip (scripts/bench_head_pad.py,
+    scanned production step, host-readback timing): v1's 108-wide heads
+    0.99x, deit64's 64-wide heads 0.96x — XLA/Mosaic already tiles
+    partially-filled lanes well, and explicit padding only adds FLOPs and
+    HBM traffic.  'auto' therefore never pads; 'always' remains for
+    experimentation on future chips/shapes.
     """
     mode = _POLICY["head_pad"]
     pad = (-head_dim) % 128
-    if mode == "never" or pad == 0:
-        return 0
     if mode == "always":
         return pad
-    return pad if (head_dim >= 64 and on_tpu()) else 0
+    return 0
 
 
 def get_policy() -> dict:
