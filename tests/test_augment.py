@@ -105,9 +105,41 @@ def test_remat_forward_matches(rng):
     z = gan.sample_latent(jax.random.PRNGKey(1), 2)
     set_policy(remat=False)
     want, _ = gan.generator_apply(gvars, z)
-    set_policy(remat=True)
     try:
-        got, _ = gan.generator_apply(gvars, z)
+        for mode in ("full", "dots"):
+            set_policy(remat=mode)
+            got, _ = gan.generator_apply(gvars, z)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=1e-6, err_msg=mode)
     finally:
         set_policy(remat=False)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_remat_gradients_match(rng):
+    """'full' and 'dots' remat change only what's saved for the backward —
+    gradients must be identical to the unremated path."""
+    from vitgan_tpu import config as C
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.ops.policy import set_policy
+
+    cfg = C.smoke_config("v2")
+    gan = build_gan(cfg)
+    gvars = gan.generator_init(rng)
+    z = gan.sample_latent(jax.random.PRNGKey(1), 2)
+
+    def loss(params):
+        out, _ = gan.generator_apply({**gvars, "params": params}, z)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    set_policy(remat=False)
+    want = jax.grad(loss)(gvars["params"])
+    try:
+        for mode in ("full", "dots"):
+            set_policy(remat=mode)
+            got = jax.grad(loss)(gvars["params"])
+            for a, b in zip(jax.tree_util.tree_leaves(got),
+                            jax.tree_util.tree_leaves(want)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-4, atol=1e-5, err_msg=mode)
+    finally:
+        set_policy(remat=False)

@@ -60,10 +60,17 @@ def unpatchify(tokens: jnp.ndarray, patch: int, image_size: int, channels: int) 
 
 def _maybe_remat(fn):
     """Rematerialize a transformer block under the process remat policy —
-    trades recompute FLOPs for HBM at high resolution (BASELINE config #5)."""
-    from vitgan_tpu.ops.policy import remat_enabled
+    trades recompute FLOPs for HBM at high resolution (BASELINE config #5).
+    'dots' saves matmul (MXU) outputs and recomputes only elementwise work."""
+    from vitgan_tpu.ops.policy import remat_mode
 
-    return jax.checkpoint(fn) if remat_enabled() else fn
+    mode = remat_mode()
+    if mode == "full":
+        return jax.checkpoint(fn)
+    if mode == "dots":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    return fn
 
 
 def _encoder_init(key, cfg: V2Config, dtype=jnp.float32):

@@ -12,12 +12,12 @@ from __future__ import annotations
 
 import jax
 
-_POLICY = {"mode": "auto", "min_seq_len": 256, "min_mlp_rows": 2048, "remat": False,
+_POLICY = {"mode": "auto", "min_seq_len": 256, "min_mlp_rows": 2048, "remat": "never",
            "head_pad": "auto"}
 
 
 def set_policy(mode: str | None = None, min_seq_len: int | None = None,
-               min_mlp_rows: int | None = None, remat: bool | None = None,
+               min_mlp_rows: int | None = None, remat=None,
                head_pad: str | None = None) -> None:
     if mode is not None:
         assert mode in ("auto", "always", "never"), mode
@@ -27,6 +27,9 @@ def set_policy(mode: str | None = None, min_seq_len: int | None = None,
     if min_mlp_rows is not None:
         _POLICY["min_mlp_rows"] = min_mlp_rows
     if remat is not None:
+        if isinstance(remat, bool):  # config back-compat: True == full
+            remat = "full" if remat else "never"
+        assert remat in ("never", "full", "dots"), remat
         _POLICY["remat"] = remat
     if head_pad is not None:
         assert head_pad in ("auto", "always", "never"), head_pad
@@ -57,7 +60,19 @@ def get_policy() -> dict:
 
 
 def remat_enabled() -> bool:
-    return bool(_POLICY["remat"])
+    return _POLICY["remat"] != "never"
+
+
+def remat_mode() -> str:
+    """'never' | 'full' | 'dots'.
+
+    - full: jax.checkpoint the whole transformer block — O(1) block
+      activations live at once, backward recomputes everything.
+    - dots: jax.checkpoint with dots_with_no_batch_dims_saveable — matmul
+      (MXU) outputs are saved, only elementwise/VPU work is recomputed;
+      a middle point between memory and recompute FLOPs.
+    """
+    return _POLICY["remat"]
 
 
 def on_tpu() -> bool:
