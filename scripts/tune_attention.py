@@ -23,7 +23,7 @@ from vitgan_tpu.ops.policy import enable_persistent_compilation_cache
 
 enable_persistent_compilation_cache()
 from vitgan_tpu.ops import attention as A  # noqa: E402
-from vitgan_tpu.utils.timing import sync_timeit  # noqa: E402
+from vitgan_tpu.utils.timing import sync_timeit_scalar  # noqa: E402
 
 
 def main():
@@ -50,8 +50,8 @@ def main():
     gxl = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
         A.attention_chunked(q, k, v, "dot", float(d), chunk=512) ** 2),
         argnums=(0, 1, 2)))
-    report("xla_fused", sync_timeit(xl, q, k, v, iters=iters),
-           sync_timeit(gxl, q, k, v, iters=max(2, iters // 2)))
+    report("xla_fused", sync_timeit_scalar(xl, q, k, v, iters=iters),
+           sync_timeit_scalar(gxl, q, k, v, iters=max(2, iters // 2)))
 
     # jax.experimental reference TPU flash kernel (speed-of-light target).
     try:
@@ -61,8 +61,8 @@ def main():
         fl_ref = jax.jit(lambda q, k, v: F.flash_attention(q, k, v, sm_scale=sm))
         gfl_ref = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
             F.flash_attention(q, k, v, sm_scale=sm) ** 2), argnums=(0, 1, 2)))
-        report("jax_flash_reference", sync_timeit(fl_ref, q, k, v, iters=iters),
-               sync_timeit(gfl_ref, q, k, v, iters=max(2, iters // 2)))
+        report("jax_flash_reference", sync_timeit_scalar(fl_ref, q, k, v, iters=iters),
+               sync_timeit_scalar(gfl_ref, q, k, v, iters=max(2, iters // 2)))
     except Exception as e:
         print(f"# jax flash reference unavailable: {type(e).__name__}: {str(e)[:160]}",
               file=sys.stderr)
@@ -78,8 +78,8 @@ def main():
                 A.flash_attention(q, k, v, "dot", float(d),
                                   block_q=bq, block_k=bk) ** 2), argnums=(0, 1, 2)))
             try:
-                t_f = sync_timeit(fl, q, k, v, iters=iters)
-                t_b = sync_timeit(gfl, q, k, v, iters=max(2, iters // 2))
+                t_f = sync_timeit_scalar(fl, q, k, v, iters=iters)
+                t_b = sync_timeit_scalar(gfl, q, k, v, iters=max(2, iters // 2))
             except Exception as e:
                 print(f"# bq={bq} bk={bk}: {type(e).__name__}: {str(e)[:120]}",
                       file=sys.stderr)

@@ -24,7 +24,7 @@ if ON_CHIP:
 
     from vitgan_tpu.ops import attention as A
     from vitgan_tpu.ops.fused_mlp import _reference as mlp_ref, fused_ln_mlp
-    from vitgan_tpu.utils.timing import sync_timeit
+    from vitgan_tpu.utils.timing import sync_timeit_scalar
 
     if not any(d.platform == "tpu" for d in jax.devices()):
         pytestmark = pytest.mark.skip(reason="no TPU device present")
@@ -110,21 +110,25 @@ def test_fused_mlp_parity_on_chip():
 
 def test_timed_pallas_vs_xla(capsys):
     """Honestly-timed kernel-vs-XLA comparison at 4k tokens; emits one JSON line
-    per case.  Soft gate: the Pallas path must not be catastrophically slower."""
+    per case.  Soft gate: the Pallas path must not be catastrophically slower.
+
+    Timing uses sync_timeit_scalar: the result is a 25MB tensor and a
+    full-leaf readback would add ~1s of tunnel transfer amortized over iters,
+    inflating every number (that bug shaped round-2's first kernel table)."""
     results = []
     for mode in ("dot", "l2"):
         q, k, v = _qkv(jax.random.PRNGKey(4), b=8, h=4, n=4096, d=96)
         fl = jax.jit(lambda q, k, v: A.flash_attention(q, k, v, mode, 96.0))
         xl = jax.jit(lambda q, k, v: A.attention_reference(q, k, v, mode, 96.0))
-        t_fl = sync_timeit(fl, q, k, v, iters=20)
-        t_xl = sync_timeit(xl, q, k, v, iters=20)
+        t_fl = sync_timeit_scalar(fl, q, k, v, iters=20)
+        t_xl = sync_timeit_scalar(xl, q, k, v, iters=20)
 
         gfl = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
             A.flash_attention(q, k, v, mode, 96.0) ** 2), argnums=(0, 1, 2)))
         gxl = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
             A.attention_chunked(q, k, v, mode, 96.0, chunk=512) ** 2), argnums=(0, 1, 2)))
-        t_gfl = sync_timeit(gfl, q, k, v, iters=10)
-        t_gxl = sync_timeit(gxl, q, k, v, iters=10)
+        t_gfl = sync_timeit_scalar(gfl, q, k, v, iters=10)
+        t_gxl = sync_timeit_scalar(gxl, q, k, v, iters=10)
         results.append({"case": f"attn_{mode}_n4096", "fwd_pallas_ms": t_fl * 1e3,
                         "fwd_xla_ms": t_xl * 1e3, "fwdbwd_pallas_ms": t_gfl * 1e3,
                         "fwdbwd_xla_chunked_ms": t_gxl * 1e3})

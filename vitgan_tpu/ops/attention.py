@@ -628,13 +628,21 @@ def _flash_attention_vjp(q, k, v, score_mode: str, scale: Optional[float],
 
 
 def flash_attention(q, k, v, score_mode: str = "dot", scale: Optional[float] = None,
-                    block_q: int = 512, block_k: int = 512, interpret: bool = False):
+                    block_q: Optional[int] = None, block_k: Optional[int] = None,
+                    interpret: bool = False):
     """(B, H, N, D) q/k/v -> (B, H, N, D) attention output.
 
-    Default 512 blocks: measured fastest fwd+bwd on v5e at 4k tokens (58-62 ms
-    vs 88-93 ms at 128); clamped to the padded sequence for short inputs.
+    Block defaults are sequence-adaptive, from the v5e sweep
+    (scripts/tune_attention.py, transfer-free sync_timeit_scalar timing):
+    at 4k tokens 1024-blocks run fwd 3.92 ms vs 5.37 ms for 512-blocks
+    (1.37x); at 1k tokens 512-blocks win and 1024 regresses 2.6x.  Blocks
+    are clamped to the padded sequence for short inputs.
     """
-    n_ceil = _ceil_to(q.shape[-2], 128)
+    n = q.shape[-2]
+    default = 1024 if n >= 4096 else 512
+    block_q = block_q or default
+    block_k = block_k or default
+    n_ceil = _ceil_to(n, 128)
     return _flash_attention_vjp(q, k, v, score_mode, scale,
                                 min(block_q, n_ceil), min(block_k, n_ceil), interpret)
 
