@@ -82,9 +82,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, score_mode: str,
         k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = _scores_block(q, qq, k_blk, score_mode, inv_scale)
-        # Mask padded keys.
-        key_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(key_ids < seq_len, s, NEG_INF)
+        if seq_len < n_padded:  # static: no padded keys -> no mask work at all
+            key_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(key_ids < seq_len, s, NEG_INF)
 
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m_i - m_new)
@@ -149,8 +149,9 @@ def _flash_kernel_dma(q_ref, k_hbm, v_hbm, o_ref, lse_ref, k_buf, v_buf, k_sem, 
         k_blk = k_buf[slot]
         v_blk = v_buf[slot]
         s = _scores_block(q, qq, k_blk, score_mode, inv_scale)
-        key_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(key_ids < seq_len, s, NEG_INF)
+        if seq_len < n_pad:  # static: skip mask when nothing is padded
+            key_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(key_ids < seq_len, s, NEG_INF)
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m_i - m_new)
         p = jnp.exp(s - m_new)
@@ -285,13 +286,17 @@ def _flash_forward(q, k, v, score_mode: str, scale: float, block_q: int, block_k
 
 
 def _dq_block_update(q, qq, do, lse, delta, k_blk, v_blk, kb, block_k, seq_len,
-                     score_mode, inv_scale, carry):
-    """Shared per-k-block dq math (used by the VMEM and the DMA-streaming kernels)."""
+                     score_mode, inv_scale, carry, padded: bool = True):
+    """Shared per-k-block dq math (used by the VMEM and the DMA-streaming kernels).
+
+    ``padded`` is static — False skips the key mask entirely when the
+    sequence fills its blocks exactly (the common production shapes)."""
     dq, ds_rowsum = carry
     in_dtype = q.dtype
     s = _scores_block(q, qq, k_blk, score_mode, inv_scale)
-    key_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(key_ids < seq_len, s, NEG_INF)
+    if padded:
+        key_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_ids < seq_len, s, NEG_INF)
     p = jnp.exp(s - lse)
     dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
     ds = p * (dp - delta)
@@ -321,7 +326,8 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref
         k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
         return _dq_block_update(q, qq, do, lse, delta, k_blk, v_blk, kb, block_k,
-                                seq_len, score_mode, inv_scale, carry)
+                                seq_len, score_mode, inv_scale, carry,
+                                padded=seq_len < k_ref.shape[1])
 
     dq0 = jnp.zeros(q.shape, jnp.float32)
     rs0 = jnp.zeros((q.shape[0], 1), jnp.float32)
@@ -365,7 +371,8 @@ def _flash_bwd_dq_kernel_dma(q_ref, k_hbm, v_hbm, do_ref, lse_ref, delta_ref, dq
         k_dma(slot, kb).wait()
         v_dma(slot, kb).wait()
         return _dq_block_update(q, qq, do, lse, delta, k_buf[slot], v_buf[slot], kb,
-                                block_k, seq_len, score_mode, inv_scale, carry)
+                                block_k, seq_len, score_mode, inv_scale, carry,
+                                padded=seq_len < n_pad)
 
     dq0 = jnp.zeros(q.shape, jnp.float32)
     rs0 = jnp.zeros((q.shape[0], 1), jnp.float32)
@@ -374,8 +381,12 @@ def _flash_bwd_dq_kernel_dma(q_ref, k_hbm, v_hbm, do_ref, lse_ref, delta_ref, dq
 
 
 def _dkv_block_update(k_blk, kk, q, do, lse, delta, qb, ki, block_q, block_k,
-                      seq_len, score_mode, inv_scale, v_blk, carry):
-    """Shared per-q-block dk/dv math (VMEM and DMA-streaming kernels)."""
+                      seq_len, score_mode, inv_scale, v_blk, carry,
+                      padded: bool = True):
+    """Shared per-q-block dk/dv math (VMEM and DMA-streaming kernels).
+
+    ``padded`` is static — False skips both the key and the q-row masks when
+    the sequence fills its blocks exactly."""
     dk, dv, ds_colsum = carry
     in_dtype = k_blk.dtype
     qk = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
@@ -384,14 +395,17 @@ def _dkv_block_update(k_blk, kk, q, do, lse, delta, qb, ki, block_q, block_k,
     else:
         qq = jnp.sum(q.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
         s = -jnp.maximum(qq + kk - 2.0 * qk, 0.0) * inv_scale
-    # GLOBAL key index of this k-block's columns (ki = the kernel's k-block
-    # grid position): padded keys must be masked in every block, not just the
-    # first — a local iota only masked block 0's tail.
-    key_ids = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(key_ids < seq_len, s, NEG_INF)
-    # Padded q rows have lse=0 from the fwd pad; mask their p to 0.
-    row_ids = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    p = jnp.where(row_ids < seq_len, jnp.exp(s - lse), 0.0)
+    if padded:
+        # GLOBAL key index of this k-block's columns (ki = the kernel's k-block
+        # grid position): padded keys must be masked in every block, not just
+        # the first — a local iota only masked block 0's tail.
+        key_ids = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_ids < seq_len, s, NEG_INF)
+        # Padded q rows have lse=0 from the fwd pad; mask their p to 0.
+        row_ids = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        p = jnp.where(row_ids < seq_len, jnp.exp(s - lse), 0.0)
+    else:
+        p = jnp.exp(s - lse)
     dv = dv + jnp.dot(p.astype(in_dtype).T, do, preferred_element_type=jnp.float32)
     dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
     ds = p * (dp - delta)
@@ -424,7 +438,8 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
         delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
         return _dkv_block_update(k_blk, kk, q, do, lse, delta, qb, ki, block_q,
-                                 block_k, seq_len, score_mode, inv_scale, v_blk, carry)
+                                 block_k, seq_len, score_mode, inv_scale, v_blk,
+                                 carry, padded=seq_len < q_ref.shape[1])
 
     z = jnp.zeros(k_blk.shape, jnp.float32)
     cs0 = jnp.zeros((k_blk.shape[0], 1), jnp.float32)
@@ -472,7 +487,7 @@ def _flash_bwd_dkv_kernel_dma(q_hbm, k_ref, v_ref, do_hbm, lse_ref, delta_ref,
         delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
         return _dkv_block_update(k_blk, kk, q_buf[slot], do_buf[slot], lse, delta,
                                  qb, ki, block_q, block_k, seq_len, score_mode,
-                                 inv_scale, v_blk, carry)
+                                 inv_scale, v_blk, carry, padded=seq_len < n_pad)
 
     z = jnp.zeros(k_blk.shape, jnp.float32)
     cs0 = jnp.zeros((k_blk.shape[0], 1), jnp.float32)
