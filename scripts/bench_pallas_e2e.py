@@ -8,7 +8,14 @@ sequence lengths?  hires128 (1024 tokens, depth 12, remat) is the config the
 kernels exist for.  Prints one JSON line; an arm that OOMs reports null
 (XLA materializes (N, N) score blocks the flash kernel never does).
 
-Usage: python scripts/bench_pallas_e2e.py [preset=hires128|deit64] [scan_steps] [iters]
+Usage: python scripts/bench_pallas_e2e.py [preset=hires128|deit64|v2|v1] [scan_steps] [iters] [modes]
+
+``modes`` is comma-separated from {always,never,auto} (default all three).
+Note: 'always' forces the flash kernel even at CIFAR-scale sequences where
+it was never designed to run — at v2 (65 tokens) that arm compiles for >25
+minutes on this host and is not a production configuration; use
+'auto,never' there (auto routes v2 attention to XLA and the MLP to the
+fused kernel when rows >= 2048).
 """
 
 import json
@@ -55,15 +62,20 @@ def main():
     preset = sys.argv[1] if len(sys.argv) > 1 else "hires128"
     scan_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    modes = (sys.argv[4].split(",") if len(sys.argv) > 4
+             else ["always", "never", "auto"])
     syn = C.DataConfig(dataset="synthetic")
     cfg = C.replace(C.deit64_config() if preset == "deit64"
                     else C.highres_config(128), data=syn)
-    out = {"metric": f"{preset} train-step img/s, attention routing A/B",
+    out = {"metric": f"{preset} train-step img/s, kernel routing A/B",
            "scan_steps": scan_steps}
-    for mode in ("always", "never"):
+    # 'auto' is the production policy (attention kernel gated on seq>=256,
+    # fused MLP on rows>=2048); always/never force both kernels on/off.
+    for mode in modes:
         ips = measure(cfg, mode, scan_steps, iters)
         out[f"img_per_sec_pallas_{mode}"] = round(ips, 2) if ips else None
-    a, n = out["img_per_sec_pallas_always"], out["img_per_sec_pallas_never"]
+    a = out.get("img_per_sec_pallas_always") or out.get("img_per_sec_pallas_auto")
+    n = out.get("img_per_sec_pallas_never")
     out["pallas_speedup"] = round(a / n, 3) if a and n else None
     print(json.dumps(out))
 
