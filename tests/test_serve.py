@@ -68,6 +68,38 @@ def test_same_seed_same_samples(server):
     np.testing.assert_array_equal(np.load(io.BytesIO(a)), np.load(io.BytesIO(b)))
 
 
+def test_unseeded_requests_coalesce_device_calls():
+    """Small unseeded requests must share generator calls via the pool:
+    8 requests of n=2 against batch=8 need 2 device calls, not 8."""
+    import jax
+
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.serve import SamplerService
+    from vitgan_tpu.train import create_train_state
+
+    cfg = C.smoke_config("mlp")
+    gan = build_gan(cfg)
+    state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
+    service = SamplerService(cfg, gan, state.g_vars_ema, batch=8)
+    outs = [service.sample(2) for _ in range(8)]
+    assert all(o.shape[0] == 2 for o in outs)
+    assert service._device_calls == 2
+    # ...and the coalesced slices are distinct draws, not repeats.
+    flat = np.stack([o[0].ravel() for o in outs])
+    assert len({a.tobytes() for a in flat}) == len(outs)
+    # Seeded requests bypass the pool and stay reproducible.
+    a = service.sample(3, seed=5)
+    b = service.sample(3, seed=5)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_metrics_endpoint(server):
+    with urllib.request.urlopen(server + "/metrics") as r:
+        assert r.status == 200
+        text = r.read().decode()
+    assert "vitgan_requests_served" in text and "vitgan_device_calls" in text
+
+
 def test_bad_requests(server):
     status, _, body = _post(server, {"n": 0})
     assert status == 400 and b"error" in body

@@ -8,11 +8,15 @@ to one fixed device shape (no retraces, no shape churn).
 
 Endpoints (stdlib http.server — zero new dependencies):
 
-- ``GET  /healthz``            -> JSON model/run info
+- ``GET  /healthz``            -> JSON model/run info + service counters
+- ``GET  /metrics``            -> OpenMetrics text (requests/images/device
+  calls/sample seconds) for scrape-based monitoring
 - ``POST /sample``             -> body {"n": int, "seed": int?, "format": "png"|"npy"}
   returns an image grid (image/png) or raw [-1,1] float32 samples
   (application/octet-stream, .npy bytes).  ``n`` is served by slicing one or
-  more fixed-batch generator calls, so arbitrary n never recompiles.
+  more fixed-batch generator calls, so arbitrary n never recompiles; seeded
+  requests are reproducible, unseeded requests coalesce into shared batches
+  (see SamplerService).
 
 Start:  python -m vitgan_tpu.cli serve --run-dir <run> --port 8000
 """
@@ -30,7 +34,14 @@ import numpy as np
 
 
 class SamplerService:
-    """Thread-safe batched sampler around a restored train state."""
+    """Thread-safe batched sampler around a restored train state.
+
+    Seeded requests are reproducible: ``sample(n, seed)`` always derives its
+    latents from PRNGKey(seed) alone, one fixed-shape generator call per
+    ``batch`` images.  Unseeded requests COALESCE: they draw slices from a
+    shared pool that is refilled one fixed batch at a time, so many small
+    concurrent requests share device calls (e.g. 16 concurrent n=4 requests
+    cost one generator call, not 16)."""
 
     def __init__(self, cfg, gan, g_vars, batch: int = 64):
         from vitgan_tpu.train import make_sample_fn
@@ -42,6 +53,11 @@ class SamplerService:
         self._sample = make_sample_fn(gan, cfg)
         self._lock = threading.Lock()  # one device user at a time
         self._counter = 0
+        self._device_calls = 0
+        self._images_served = 0
+        self._sample_seconds = 0.0
+        self._pool = np.zeros((0,), np.float32)  # leftover unseeded samples
+        self._pool_key = jax.random.PRNGKey(0x5E11)
         # Warm the compile so the first request is fast.
         z = gan.sample_latent(jax.random.PRNGKey(0), batch)
         jax.block_until_ready(self._sample(g_vars, z))
@@ -55,27 +71,63 @@ class SamplerService:
             "batch": self.batch,
             "device": str(jax.devices()[0]),
             "requests_served": self._counter,
+            "images_served": self._images_served,
+            "device_calls": self._device_calls,
         }
 
+    def metrics_text(self) -> str:
+        """OpenMetrics/Prometheus exposition of the service counters."""
+        lines = [
+            "# TYPE vitgan_requests_served counter",
+            f"vitgan_requests_served {self._counter}",
+            "# TYPE vitgan_images_served counter",
+            f"vitgan_images_served {self._images_served}",
+            "# TYPE vitgan_device_calls counter",
+            f"vitgan_device_calls {self._device_calls}",
+            "# TYPE vitgan_sample_seconds counter",
+            f"vitgan_sample_seconds {self._sample_seconds:.6f}",
+        ]
+        return "\n".join(lines) + "\n"
+
+    def _generate(self, rng) -> np.ndarray:
+        """One fixed-shape generator call (the only device entry point)."""
+        import time
+
+        t0 = time.perf_counter()
+        z = self.gan.sample_latent(rng, self.batch)
+        imgs = np.asarray(self._sample(self.g_vars, z))
+        self._sample_seconds += time.perf_counter() - t0
+        self._device_calls += 1
+        return imgs
+
     def sample(self, n: int, seed: Optional[int] = None) -> np.ndarray:
-        """n images in [-1,1], served from ceil(n/batch) fixed-shape calls."""
+        """n images in [-1,1]; seeded => reproducible, unseeded => coalesced."""
         if n < 1:
             raise ValueError("n must be >= 1")
         with self._lock:
-            if seed is None:
-                seed = self._counter
             self._counter += 1
+            self._images_served += n
+            if seed is not None:
+                out, done, call = [], 0, 0
+                while done < n:
+                    rng = jax.random.fold_in(jax.random.PRNGKey(seed), call)
+                    imgs = self._generate(rng)
+                    take = min(self.batch, n - done)
+                    out.append(imgs[:take])
+                    done += take
+                    call += 1
+                return np.concatenate(out, 0)
+            # Unseeded: slice from the shared pool, refilling batch-at-a-time.
             out = []
-            done = 0
-            call = 0
-            while done < n:
-                rng = jax.random.fold_in(jax.random.PRNGKey(seed), call)
-                z = self.gan.sample_latent(rng, self.batch)
-                imgs = np.asarray(self._sample(self.g_vars, z))
-                take = min(self.batch, n - done)
-                out.append(imgs[:take])
-                done += take
-                call += 1
+            need = n
+            while need > 0:
+                if self._pool.shape[0] == 0:
+                    self._pool_key, sub = jax.random.split(self._pool_key)
+                    self._pool = self._generate(sub)
+                take = min(need, self._pool.shape[0])
+                out.append(self._pool[:take])
+                self._pool = self._pool[take:]
+                need -= take
             return np.concatenate(out, 0)
 
 
@@ -118,8 +170,12 @@ def _make_handler(service: SamplerService):
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, service.info())
+            elif self.path == "/metrics":
+                self._reply(200, service.metrics_text().encode(),
+                            "text/plain; version=0.0.4")
             else:
-                self._json(404, {"error": "unknown path (try /healthz, POST /sample)"})
+                self._json(404, {"error": "unknown path (try /healthz, /metrics, "
+                                          "POST /sample)"})
 
         def do_POST(self):
             if self.path != "/sample":
