@@ -59,8 +59,9 @@ def _chip_peak_tflops() -> float:
 def _readback_scalar(state) -> float:
     """Host-materialize a value that depends on the final G params — the
     ground-truth synchronization point."""
-    leaf = jax.tree_util.tree_leaves(state.g_params)[0]
-    return float(np.asarray(leaf).ravel()[0])
+    from vitgan_tpu.utils.timing import _readback
+
+    return _readback(state.g_params)
 
 
 def main():
@@ -90,20 +91,12 @@ def main():
         host_rng.integers(0, 4096, (n_calls + 1, scan_steps, batch)).astype(np.int32)
     )
 
-    # FLOP model: XLA's own cost analysis.  NOTE: XLA counts a lax.scan body
-    # ONCE regardless of trip count (verified: scan=1/4/64 all report the same
-    # flops), so the per-call cost is flops(single step) * scan_steps.
-    flops_per_step = None
-    try:
-        from vitgan_tpu.train.step import make_raw_train_step
+    # FLOP model: XLA's own cost analysis (utils.benchutil; scan body counted
+    # once, so per-call cost = flops(single step) * scan_steps).
+    from vitgan_tpu.utils.benchutil import xla_step_gflops
 
-        raw = jax.jit(make_raw_train_step(gan, cfg))
-        real0 = jax.numpy.zeros((batch, 32, 32, cfg.model.channels), jax.numpy.float32)
-        ca = raw.lower(state, real0).compile().cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-        flops_per_step = float(ca["flops"])
-    except Exception:
-        pass
+    gflops = xla_step_gflops(cfg, gan, state)
+    flops_per_step = gflops * 1e9 if gflops else None
 
     # Warmup/compile — then force a FULL host readback so (a) warmup has truly
     # finished and (b) the tunneled platform drops into synchronous dispatch.

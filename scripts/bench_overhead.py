@@ -31,9 +31,7 @@ enable_persistent_compilation_cache()
 from vitgan_tpu.models import build_gan  # noqa: E402
 from vitgan_tpu.ops.policy import apply_from_runtime  # noqa: E402
 from vitgan_tpu.train import create_train_state  # noqa: E402
-from vitgan_tpu.train.step import (  # noqa: E402
-    make_device_data_train_fn, make_raw_train_step,
-)
+from vitgan_tpu.train.step import make_device_data_train_fn  # noqa: E402
 from vitgan_tpu.utils.timing import sync_timeit  # noqa: E402
 
 PEAK_TFLOPS_V5E_BF16 = 197.0
@@ -63,15 +61,9 @@ def main():
     t_step = (times[s2] - times[s1]) / (s2 - s1)
     overhead = times[s1] - s1 * t_step
 
-    gflops = None
-    try:
-        raw = jax.jit(make_raw_train_step(gan, cfg))
-        real0 = jnp.zeros((b, s, s, c), jnp.float32)
-        ca = raw.lower(state, real0).compile().cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-        gflops = float(ca["flops"]) / 1e9
-    except Exception:
-        pass
+    from vitgan_tpu.utils.benchutil import xla_step_gflops
+
+    gflops = xla_step_gflops(cfg, gan, state)
 
     rec = {
         "metric": "v2 train-step dispatch decomposition (t_call = overhead + S*t_step)",

@@ -1,21 +1,22 @@
-"""A/B the Pallas attention routing in the FULL production train step.
+"""A/B the Pallas kernel routing in the FULL production train step.
 
 tests/test_tpu_onchip.py times the kernels in isolation; this script answers
-the production question — does routing attention through the Pallas flash
-kernels (`runtime.use_pallas=always`) beat XLA's fused attention
-(`use_pallas=never`) inside the complete scanned G+D train step at long
-sequence lengths?  hires128 (1024 tokens, depth 12, remat) is the config the
-kernels exist for.  Prints one JSON line; an arm that OOMs reports null
-(XLA materializes (N, N) score blocks the flash kernel never does).
+the production question — does routing through the Pallas kernels beat XLA
+inside the complete scanned G+D train step?  hires128 (1024 tokens, depth
+12, remat) is the config the flash-attention kernel exists for.  Prints one
+JSON line; an arm that OOMs reports null (XLA materializes (N, N) score
+blocks the flash kernel never does).
 
-Usage: python scripts/bench_pallas_e2e.py [preset=hires128|deit64|v2|v1] [scan_steps] [iters] [modes]
+Usage: python scripts/bench_pallas_e2e.py [preset] [scan_steps] [iters] [modes]
 
-``modes`` is comma-separated from {always,never,auto} (default all three).
-Note: 'always' forces the flash kernel even at CIFAR-scale sequences where
-it was never designed to run — at v2 (65 tokens) that arm compiles for >25
-minutes on this host and is not a production configuration; use
-'auto,never' there (auto routes v2 attention to XLA and the MLP to the
-fused kernel when rows >= 2048).
+``preset`` is any vitgan_tpu.utils.benchutil preset (v1 | v2 | dcgan | cnn |
+mlp | deit64 | hires128 | hires256).  ``modes`` is comma-separated from
+{always,never,auto} (default all three).  Note: 'always' forces the flash
+kernel even at CIFAR-scale sequences where it was never designed to run —
+its compile there takes tens of minutes and is not a production
+configuration; use 'auto,never' for the short-sequence families ('auto'
+routes their attention to XLA and the MLP to the fused kernel when
+rows >= 2048).
 """
 
 import json
@@ -24,38 +25,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import numpy as np
-
-from vitgan_tpu import config as C
 from vitgan_tpu.ops.policy import enable_persistent_compilation_cache
 
 enable_persistent_compilation_cache()
-from vitgan_tpu.models import build_gan  # noqa: E402
 from vitgan_tpu.ops.policy import apply_from_runtime, set_policy  # noqa: E402
-from vitgan_tpu.train import create_train_state  # noqa: E402
-from vitgan_tpu.train.step import make_device_data_train_fn  # noqa: E402
-from vitgan_tpu.utils.timing import sync_timeit  # noqa: E402
-
-
-def measure(cfg: C.ExperimentConfig, use_pallas: str, scan_steps: int, iters: int):
-    apply_from_runtime(cfg.runtime)
-    set_policy(mode=use_pallas)
-    m = cfg.model
-    gan = build_gan(cfg)
-    state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
-    host = np.random.default_rng(0)
-    b, s, c = m.batch_size, m.image_size, m.channels
-    dataset = jax.device_put(host.integers(0, 256, (256, s, s, c), dtype=np.uint8))
-    idx = jax.device_put(host.integers(0, 256, (scan_steps, b)).astype(np.int32))
-    fn = make_device_data_train_fn(gan, cfg, scan_steps, donate=False)
-    try:
-        t = sync_timeit(fn, state, dataset, idx, iters=iters)
-    except Exception as e:
-        print(f"# use_pallas={use_pallas}: {type(e).__name__}: {str(e)[:200]}",
-              file=sys.stderr)
-        return None
-    return b * scan_steps / t
+from vitgan_tpu.utils.benchutil import build_preset_cfg, measure_scanned_train  # noqa: E402
 
 
 def main():
@@ -64,15 +38,20 @@ def main():
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     modes = (sys.argv[4].split(",") if len(sys.argv) > 4
              else ["always", "never", "auto"])
-    syn = C.DataConfig(dataset="synthetic")
-    cfg = C.replace(C.deit64_config() if preset == "deit64"
-                    else C.highres_config(128), data=syn)
+    cfg = build_preset_cfg(preset)
     out = {"metric": f"{preset} train-step img/s, kernel routing A/B",
            "scan_steps": scan_steps}
     # 'auto' is the production policy (attention kernel gated on seq>=256,
     # fused MLP on rows>=2048); always/never force both kernels on/off.
     for mode in modes:
-        ips = measure(cfg, mode, scan_steps, iters)
+        apply_from_runtime(cfg.runtime)
+        set_policy(mode=mode)
+        try:
+            ips = measure_scanned_train(cfg, scan_steps, iters, dataset_images=256)
+        except Exception as e:
+            print(f"# use_pallas={mode}: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
+            ips = None
         out[f"img_per_sec_pallas_{mode}"] = round(ips, 2) if ips else None
     a = out.get("img_per_sec_pallas_always") or out.get("img_per_sec_pallas_auto")
     n = out.get("img_per_sec_pallas_never")

@@ -49,14 +49,10 @@ def bench_family(name, cfg, scan_steps=16, iters=5, single_iters=20):
     t_one = sync_timeit(step1, state, real, iters=single_iters)
     ips_one = b / t_one
 
-    # FLOP model (XLA counts the scan body once; see bench.py).
-    gflops = None
-    try:
-        ca = step1.lower(state, real).compile().cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-        gflops = float(ca["flops"]) / 1e9
-    except Exception:
-        pass
+    # FLOP model (XLA counts the scan body once; see utils/benchutil.py).
+    from vitgan_tpu.utils.benchutil import xla_step_gflops
+
+    gflops = xla_step_gflops(cfg, gan, state)
 
     rec = {
         "family": name, "batch": b, "image_size": s,

@@ -45,8 +45,8 @@ def main():
     total = time.perf_counter() - t0
 
     with open(os.path.join(trainer.dirs.logs, "scalars.jsonl")) as f:
-        ips = [json.loads(line)["value"] for line in f
-               if json.loads(line)["tag"] == "train/images_per_sec"]
+        records = (json.loads(line) for line in f)
+        ips = [r["value"] for r in records if r["tag"] == "train/images_per_sec"]
     steady = ips[1:] or ips
     print(json.dumps({
         "metric": "end-to-end Trainer.fit images/sec (per-epoch metric pulls on%s)"

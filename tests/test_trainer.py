@@ -64,6 +64,25 @@ def test_trainer_resume_epoch_not_skipped(tmp_path, smoke_cfg):
     assert int(tr2.state.step) > step_before
 
 
+def test_trainer_early_stop_resume_does_not_repeat_epoch(tmp_path, smoke_cfg):
+    """Regression: the early-stop break skipped the `self.epoch = epoch + 1`
+    advance, so the epilogue persisted the COMPLETED epoch as next-to-run and
+    a later fit() re-trained it."""
+    cfg = C.replace(smoke_cfg, run_name="t2c",
+                    **{"run.early_stop_patience": 1, "run.fid_every_epochs": 1})
+    tr = Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
+    tr.fit(epochs=50)  # patience 1 stops within a few epochs on smoke data
+    stopped_after = tr.epoch
+    assert stopped_after < 50, "early stop never fired; test premise broken"
+    step_before = int(tr.state.step)
+
+    tr2 = Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
+    tr2.resume()
+    assert tr2.epoch == stopped_after  # next-to-run, not the completed one
+    tr2.fit(epochs=stopped_after)  # everything requested is already trained
+    assert int(tr2.state.step) == step_before
+
+
 def test_trainer_persists_config(tmp_path, smoke_cfg):
     cfg = C.replace(smoke_cfg, run_name="tcfg")
     Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")

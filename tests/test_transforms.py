@@ -63,6 +63,15 @@ def test_shorter_side_semantics():
     assert out.shape == (1, 32, 16, 3)
 
 
+def test_shorter_side_truncates_long_side_like_torchvision():
+    """torchvision's _compute_resized_output_size truncates the scaled long
+    side (int(size*long/short)): 7x11 at size 3 -> (3, 4), NOT round -> 5."""
+    out = T.resize_shorter_side(np.zeros((1, 7, 11, 3), np.uint8), 3)
+    assert out.shape == (1, 3, 4, 3)
+    out = T.resize_shorter_side(np.zeros((1, 11, 7, 3), np.uint8), 3)
+    assert out.shape == (1, 4, 3, 3)
+
+
 def test_center_crop_matches_torchvision_formula():
     rng = np.random.default_rng(2)
     imgs = rng.integers(0, 256, (2, 37, 41, 3), dtype=np.uint8)

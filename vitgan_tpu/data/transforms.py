@@ -72,12 +72,16 @@ def resize_bilinear(images_u8: np.ndarray, out_h: int, out_w: int) -> np.ndarray
 
 
 def resize_shorter_side(images_u8: np.ndarray, size: int) -> np.ndarray:
-    """torchvision Resize(int): shorter side -> size, aspect preserved."""
+    """torchvision Resize(int): shorter side -> size, aspect preserved.
+
+    The long side TRUNCATES like torchvision's _compute_resized_output_size
+    (``int(size * long / short)``), not rounds — at 7x11 -> size 3 torch
+    produces width 4, rounding would give 5."""
     _, h, w, _ = images_u8.shape
     if h <= w:
-        out_h, out_w = size, max(1, int(round(size * w / h)))
+        out_h, out_w = size, max(1, int(size * w / h))
     else:
-        out_h, out_w = max(1, int(round(size * h / w))), size
+        out_h, out_w = max(1, int(size * h / w)), size
     return resize_bilinear(images_u8, out_h, out_w)
 
 

@@ -57,18 +57,32 @@ class GANBundle:
         return jax.random.normal(rng, (batch, self.latent_dim), jnp.float32)
 
 
+def _tree_has_batch_stats(tree) -> bool:
+    """True if any sub-dict carries BatchNorm running stats ({'mean','var'})."""
+    if isinstance(tree, dict):
+        if "mean" in tree and "var" in tree:
+            return True
+        return any(_tree_has_batch_stats(v) for v in tree.values())
+    return False
+
+
 def build_gan(cfg: ExperimentConfig) -> GANBundle:
     mod = _FAMILIES[cfg.family]
     mcfg = cfg.model
+    d_init = partial(mod.discriminator_init, cfg=mcfg)
+    # Derive the batch-stats flag from the ACTUAL state structure (abstract
+    # init, no FLOPs) so the concat-D train-step optimization can never
+    # silently desync from a family gaining/losing BatchNorm.
+    d_shapes = jax.eval_shape(lambda: d_init(jax.random.PRNGKey(0)))
     return GANBundle(
         family=cfg.family,
         generator_init=partial(mod.generator_init, cfg=mcfg),
         generator_apply=partial(mod.generator_apply, cfg=mcfg),
-        discriminator_init=partial(mod.discriminator_init, cfg=mcfg),
+        discriminator_init=d_init,
         discriminator_apply=partial(mod.discriminator_apply, cfg=mcfg),
         latent_dim=mcfg.latent_dim,
         image_shape=(mcfg.image_size, mcfg.image_size, mcfg.channels),
-        d_has_batch_stats=cfg.family in ("dcgan", "cnn"),
+        d_has_batch_stats=_tree_has_batch_stats(d_shapes.get("state", {})),
     )
 
 

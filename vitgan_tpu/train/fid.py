@@ -192,7 +192,15 @@ def make_inception_extractor() -> Callable[[np.ndarray], np.ndarray]:
 def make_feature_extractor(name: str = "auto", channels: int = 3):
     """auto: ported JAX Inception weights if present, else torch-CPU
     torchvision Inception if importable, else the random-conv proxy."""
-    if name in ("inception", "inception_jax"):
+    if name == "inception":
+        # The historical documented name: prefer the JAX port, but keep the
+        # torch-CPU torchvision path as fallback (the pre-port behavior) so
+        # runs with only torchvision weights staged keep working.
+        try:
+            return make_inception_jax_extractor()
+        except Exception:
+            return make_inception_extractor()
+    if name == "inception_jax":
         return make_inception_jax_extractor()
     if name == "inception_torch":
         return make_inception_extractor()

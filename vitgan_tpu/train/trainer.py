@@ -360,6 +360,11 @@ class Trainer:
                     if self._early is not None and self._early.step(fid_val):
                         self.log.info("early stopping at epoch %d (FID %.3f)", epoch, fid_val)
                         last = means
+                        # Epoch IS complete here — advance the resume cursor
+                        # exactly like the loop tail does, or the epilogue
+                        # persists this epoch as next-to-run and a later
+                        # fit() re-trains it.
+                        self.epoch = epoch + 1
                         break
                 if run.checkpoint_every_epochs and (epoch + 1) % run.checkpoint_every_epochs == 0:
                     self.ckpts.save(int(self.state.step), jax.device_get(self.state),
