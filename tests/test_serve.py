@@ -93,6 +93,43 @@ def test_unseeded_requests_coalesce_device_calls():
     np.testing.assert_array_equal(a, b)
 
 
+def test_multi_model_registry():
+    """Two services behind one server: /sample selects by model name,
+    /healthz and /metrics carry both, unknown names 400."""
+    import jax
+
+    from http.server import ThreadingHTTPServer
+
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.serve import SamplerService, _make_handler
+    from vitgan_tpu.train import create_train_state
+
+    services = {}
+    for name, fam in (("a", "mlp"), ("b", "mlp")):
+        cfg = C.smoke_config(fam)
+        gan = build_gan(cfg)
+        state = create_train_state(jax.random.PRNGKey(hash(name) % 1000), gan, cfg)
+        services[name] = SamplerService(cfg, gan, state.g_vars_ema, batch=8)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(services))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        with urllib.request.urlopen(url + "/healthz") as r:
+            info = json.loads(r.read())
+        assert set(info) == {"a", "b"}
+        status, _, body = _post(url, {"n": 2, "model": "b", "format": "npy"})
+        assert status == 200 and np.load(io.BytesIO(body)).shape[0] == 2
+        assert services["b"]._counter == 1 and services["a"]._counter == 0
+        status, _, _ = _post(url, {"n": 2, "model": "zzz"})
+        assert status == 400
+        with urllib.request.urlopen(url + "/metrics") as r:
+            text = r.read().decode()
+        assert 'model="a"' in text and 'model="b"' in text
+    finally:
+        httpd.shutdown()
+
+
 def test_metrics_endpoint(server):
     with urllib.request.urlopen(server + "/metrics") as r:
         assert r.status == 200

@@ -132,14 +132,14 @@ def cmd_serve(args) -> int:
     from vitgan_tpu.serve import serve
     from vitgan_tpu.utils.run_dirs import latest_run
 
-    run_dir = args.run_dir or latest_run()
-    if run_dir is None:
+    run_dirs = args.run_dir or latest_run()
+    if run_dirs is None:
         print("no run directory found", file=sys.stderr)
         return 1
-    httpd = serve(run_dir, host=args.host, port=args.port, batch=args.batch,
+    httpd = serve(run_dirs, host=args.host, port=args.port, batch=args.batch,
                   best=args.best)
-    print(f"serving {run_dir} on http://{args.host}:{httpd.server_address[1]} "
-          f"(GET /healthz, POST /sample)")
+    print(f"serving {run_dirs} on http://{args.host}:{httpd.server_address[1]} "
+          f"(GET /healthz, /metrics, POST /sample)")
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
@@ -188,7 +188,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.set_defaults(fn=cmd_generate)
 
     v = sub.add_parser("serve", help="batched sampling server over HTTP")
-    v.add_argument("--run-dir", default=None, help="defaults to latest under $SCRATCH/output")
+    v.add_argument("--run-dir", action="append", default=None,
+                   help="repeatable: several run dirs form a multi-model "
+                        "registry (POST {'model': <basename>}); defaults to "
+                        "latest under $SCRATCH/output")
     v.add_argument("--host", default="127.0.0.1")
     v.add_argument("--port", type=int, default=8000)
     v.add_argument("--batch", type=int, default=64, help="fixed device batch per call")

@@ -11,7 +11,8 @@ Endpoints (stdlib http.server — zero new dependencies):
 - ``GET  /healthz``            -> JSON model/run info + service counters
 - ``GET  /metrics``            -> OpenMetrics text (requests/images/device
   calls/sample seconds) for scrape-based monitoring
-- ``POST /sample``             -> body {"n": int, "seed": int?, "format": "png"|"npy"}
+- ``POST /sample``             -> body {"n": int, "seed": int?, "model": str?,
+  "format": "png"|"npy"}
   returns an image grid (image/png) or raw [-1,1] float32 samples
   (application/octet-stream, .npy bytes).  ``n`` is served by slicing one or
   more fixed-batch generator calls, so arbitrary n never recompiles; seeded
@@ -75,17 +76,18 @@ class SamplerService:
             "device_calls": self._device_calls,
         }
 
-    def metrics_text(self) -> str:
+    def metrics_text(self, label: str = "") -> str:
         """OpenMetrics/Prometheus exposition of the service counters."""
+        tag = f'{{model="{label}"}}' if label else ""
         lines = [
             "# TYPE vitgan_requests_served counter",
-            f"vitgan_requests_served {self._counter}",
+            f"vitgan_requests_served{tag} {self._counter}",
             "# TYPE vitgan_images_served counter",
-            f"vitgan_images_served {self._images_served}",
+            f"vitgan_images_served{tag} {self._images_served}",
             "# TYPE vitgan_device_calls counter",
-            f"vitgan_device_calls {self._device_calls}",
+            f"vitgan_device_calls{tag} {self._device_calls}",
             "# TYPE vitgan_sample_seconds counter",
-            f"vitgan_sample_seconds {self._sample_seconds:.6f}",
+            f"vitgan_sample_seconds{tag} {self._sample_seconds:.6f}",
         ]
         return "\n".join(lines) + "\n"
 
@@ -152,7 +154,13 @@ def load_service(run_dir: str, batch: int = 64, best: bool = False) -> SamplerSe
     return SamplerService(cfg, gan, state.g_vars_ema, batch=batch)
 
 
-def _make_handler(service: SamplerService):
+def _make_handler(services):
+    """``services``: a single SamplerService or an ordered {name: service}
+    registry — POST /sample selects with {"model": name} (default: first)."""
+    if isinstance(services, SamplerService):
+        services = {"default": services}
+    default_name = next(iter(services))
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route through one line, not stderr spam
             pass
@@ -169,10 +177,15 @@ def _make_handler(service: SamplerService):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, service.info())
+                if len(services) == 1:
+                    self._json(200, services[default_name].info())
+                else:
+                    self._json(200, {name: s.info() for name, s in services.items()})
             elif self.path == "/metrics":
-                self._reply(200, service.metrics_text().encode(),
-                            "text/plain; version=0.0.4")
+                label = len(services) > 1
+                text = "".join(s.metrics_text(name if label else "")
+                               for name, s in services.items())
+                self._reply(200, text.encode(), "text/plain; version=0.0.4")
             else:
                 self._json(404, {"error": "unknown path (try /healthz, /metrics, "
                                           "POST /sample)"})
@@ -187,7 +200,11 @@ def _make_handler(service: SamplerService):
                 n = int(req.get("n", 16))
                 if not 1 <= n <= 4096:
                     raise ValueError("n must be in [1, 4096]")
-                imgs = service.sample(n, req.get("seed"))
+                name = req.get("model", default_name)
+                if name not in services:
+                    raise ValueError(f"unknown model {name!r} "
+                                     f"(have: {sorted(services)})")
+                imgs = services[name].sample(n, req.get("seed"))
                 fmt = req.get("format", "png")
                 if fmt == "npy":
                     buf = io.BytesIO()
@@ -205,11 +222,20 @@ def _make_handler(service: SamplerService):
     return Handler
 
 
-def serve(run_dir: str, host: str = "127.0.0.1", port: int = 8000,
+def serve(run_dirs, host: str = "127.0.0.1", port: int = 8000,
           batch: int = 64, best: bool = False) -> ThreadingHTTPServer:
-    """Build the service and return a ready (unstarted) HTTP server; call
-    ``serve_forever()`` on it (the CLI does) or drive it from tests."""
-    service = load_service(run_dir, batch=batch, best=best)
-    httpd = ThreadingHTTPServer((host, port), _make_handler(service))
-    httpd.service = service  # exposed for tests/introspection
+    """Build the service(s) and return a ready (unstarted) HTTP server; call
+    ``serve_forever()`` on it (the CLI does) or drive it from tests.
+
+    ``run_dirs``: one run directory or a list — multiple dirs become a
+    multi-model registry keyed by run-dir basename (POST {"model": name})."""
+    import os
+
+    if isinstance(run_dirs, str):
+        run_dirs = [run_dirs]
+    services = {os.path.basename(os.path.normpath(d)): load_service(d, batch=batch, best=best)
+                for d in run_dirs}
+    httpd = ThreadingHTTPServer((host, port), _make_handler(services))
+    httpd.services = services  # exposed for tests/introspection
+    httpd.service = next(iter(services.values()))  # back-compat single-model handle
     return httpd
