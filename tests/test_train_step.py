@@ -116,6 +116,31 @@ def test_wgan_gp_step(rng):
     assert np.isfinite(float(metrics["d_loss"])) and np.isfinite(float(metrics["g_loss"]))
 
 
+def test_r1_penalty_closed_form(rng):
+    """For D(x) = a.x (linear), grad_x D = a everywhere => R1 = ||a||^2."""
+    real = jax.random.normal(rng, (4, 2, 2, 1))
+    a = jnp.arange(1.0, 5.0).reshape(1, 2, 2, 1)
+    r1 = LO.r1_penalty(lambda x: jnp.sum(x * a, axis=(1, 2, 3)), real)
+    np.testing.assert_allclose(float(r1), float(jnp.sum(a * a)), rtol=1e-5)
+
+
+def test_r1_step_changes_d_update_and_stays_finite(rng):
+    cfg = C.smoke_config("v2")
+    real = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3)) * 2 - 1
+
+    def run(gamma):
+        c = C.replace(cfg, **{"v2.r1_gamma": gamma})
+        gan = build_gan(c)
+        state = create_train_state(rng, gan, c)
+        step = make_train_step(gan, c, donate=False)
+        new_state, metrics = step(state, real)
+        assert np.isfinite(float(metrics["d_loss"]))
+        return jax.tree_util.tree_leaves(new_state.d_params)[0]
+
+    base, reg = run(0.0), run(10.0)
+    assert not np.allclose(np.asarray(base), np.asarray(reg))
+
+
 def test_step_data_parallel_matches_single_device(rng, mesh8):
     """Same step, batch sharded over 8 devices vs unsharded: identical result."""
     cfg = C.smoke_config("mlp")

@@ -151,6 +151,10 @@ class V2Config:
     seed: int = 0
     loss: str = "bce"  # bce | wgan-gp
     gp_lambda: float = 10.0
+    # R1 regularization gamma (Mescheder 2018): gamma/2 * E[|grad_x D(x)|^2]
+    # on reals, added to the bce/mse D loss when > 0.  Beyond-reference: the
+    # modern, cheaper alternative to WGAN-GP (one extra backward on reals).
+    r1_gamma: float = 0.0
     diversity_weight: float = 0.1  # ref:src/v2/training.py:88
     instance_noise: float = 0.1  # ref:src/v2/training.py:99
     gen_optim: OptimConfig = field(

@@ -76,6 +76,22 @@ def gradient_penalty(disc_fn: Callable[[jnp.ndarray], jnp.ndarray],
     return jnp.mean(jnp.square(norms - 1.0))
 
 
+def r1_penalty(disc_fn: Callable[[jnp.ndarray], jnp.ndarray],
+               real: jnp.ndarray) -> jnp.ndarray:
+    """R1 regularization: E[||grad_x D(x)||^2] on REAL samples only
+    (Mescheder et al. 2018, "Which Training Methods for GANs do actually
+    Converge?").  Beyond-reference, documented deviation: one extra backward
+    on the real batch instead of WGAN-GP's interpolate+backward — roughly
+    half the extra cost, and the standard stabilizer in modern GANs
+    (StyleGAN lineage).  The caller scales by gamma/2."""
+
+    def scalar_disc(x):
+        return jnp.sum(disc_fn(x).astype(jnp.float32))
+
+    grads = jax.grad(scalar_disc)(real).astype(jnp.float32)
+    return jnp.mean(jnp.sum(jnp.square(grads.reshape(grads.shape[0], -1)), axis=-1))
+
+
 def diversity_loss(fakes: jnp.ndarray) -> jnp.ndarray:
     """Mean pairwise L1 distance over flattened fakes (ref:src/v2/utils.py:147-152).
 

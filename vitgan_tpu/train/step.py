@@ -44,6 +44,7 @@ def make_raw_train_step(gan: GANBundle, cfg: ExperimentConfig):
     loss_name = getattr(mcfg, "loss", "bce")
     criterion = LO.pick_criterion(loss_name if loss_name in ("bce", "mse") else "bce")
     use_wgan = loss_name == "wgan-gp"
+    r1_gamma = float(getattr(mcfg, "r1_gamma", 0.0) or 0.0)
     g_tx = make_optimizer(_optim_cfg(cfg, "gen"))
     d_tx = make_optimizer(_optim_cfg(cfg, "disc"))
     dtype = _compute_dtype(cfg)
@@ -120,6 +121,12 @@ def make_raw_train_step(gan: GANBundle, cfg: ExperimentConfig):
                 loss_real = criterion(real_logits, ones)
                 loss_fake = criterion(fake_logits, zeros)
                 loss = loss_real + loss_fake
+                if r1_gamma > 0:  # beyond-reference stabilizer (losses.r1_penalty)
+                    loss = loss + 0.5 * r1_gamma * LO.r1_penalty(
+                        lambda x: gan.discriminator_apply(dv, x, rng=k_gp,
+                                                          train=True)[0],
+                        d_real_in,
+                    )
             aux = {
                 "d_state": d_state2,
                 "loss_real": loss_real,
