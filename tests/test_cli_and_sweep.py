@@ -57,6 +57,13 @@ def test_cli_set_override(dev_env):
     assert rc == 0
 
 
+def test_cli_bench(dev_env, capsys):
+    rc = cli.main(["bench", "--preset", "mlp", "--scan", "2", "--iters", "1"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] > 0 and rec["unit"] == "images/sec"
+
+
 def test_sweep_runner(dev_env):
     from vitgan_tpu import config as C
     from vitgan_tpu.hpo.sweep import run_sweep, sample_search_space

@@ -147,6 +147,34 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_bench(args) -> int:
+    """Scanned-production-path throughput for any preset (utils/benchutil)."""
+    from vitgan_tpu.ops.policy import apply_from_runtime
+    from vitgan_tpu.utils.benchutil import (
+        build_preset_cfg, measure_scanned_train, xla_step_gflops,
+    )
+
+    cfg = build_preset_cfg(args.preset)
+    apply_from_runtime(cfg.runtime)
+    ips = measure_scanned_train(cfg, args.scan, args.iters)
+    rec = {"metric": f"{args.preset} train-step images/sec (scan {args.scan})",
+           "value": round(ips, 2), "unit": "images/sec"}
+    if args.flops:
+        import jax
+
+        from vitgan_tpu.models import build_gan
+        from vitgan_tpu.train import create_train_state
+
+        gan = build_gan(cfg)
+        state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
+        g = xla_step_gflops(cfg, gan, state)
+        if g:
+            rec["step_gflops"] = round(g, 2)
+            rec["sustained_tflops"] = round(g * ips / cfg.model.batch_size / 1e3, 2)
+    print(json.dumps(rec))
+    return 0
+
+
 def cmd_sweep(args) -> int:
     from vitgan_tpu.hpo.sweep import run_sweep
 
@@ -197,6 +225,15 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--batch", type=int, default=64, help="fixed device batch per call")
     v.add_argument("--best", action="store_true", help="use the best-FID checkpoint")
     v.set_defaults(fn=cmd_serve)
+
+    b = sub.add_parser("bench", help="honest train-step throughput for a preset")
+    b.add_argument("--preset", default="v2",
+                   help="v1|v2|dcgan|cnn|mlp|deit64|hires128|hires256")
+    b.add_argument("--scan", type=int, default=16, help="steps per device call")
+    b.add_argument("--iters", type=int, default=5)
+    b.add_argument("--flops", action="store_true",
+                   help="also print the XLA FLOP model + sustained TFLOP/s")
+    b.set_defaults(fn=cmd_bench)
 
     s = sub.add_parser("sweep", help="hyperparameter sweep (Ray-free)")
     common(s)
