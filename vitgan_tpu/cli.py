@@ -5,6 +5,8 @@ SURVEY §5.6); parity plus a thin argparse layer:
 
 - ``train``    — main-v1.py / main-v2.py / cnn notebook / idc.py roles via --family
 - ``generate`` — test-generation.py role (ref:src/v2/generation.py:10-60)
+- ``eval``     — FID/KID/precision-recall for a checkpoint (beyond-reference:
+                 the reference tracks FID only, ref:src/v2/utils.py:155-175)
 - ``sweep``    — train_with_ray() role, Ray-free (ref:src/v2/training.py:271-294)
 
 Env contract preserved: $SCRATCH artifact root, DEV shrink flag.
@@ -80,22 +82,20 @@ def cmd_train(args) -> int:
     return 0
 
 
-def cmd_generate(args) -> int:
-    """Load a checkpoint, sample a grid (ref:src/v2/generation.py:26-60)."""
+def _load_run_state(args):
+    """(cfg, gan, state, meta, run_dir) from a run directory's persisted
+    config + checkpoint — shared by ``generate`` and ``eval``."""
     import jax
-    import numpy as np
 
     from vitgan_tpu import config as C
     from vitgan_tpu.models import build_gan
-    from vitgan_tpu.train import create_train_state, make_sample_fn
+    from vitgan_tpu.train import create_train_state
     from vitgan_tpu.utils.checkpoint import CheckpointManager
-    from vitgan_tpu.utils.images import save_image_grid
     from vitgan_tpu.utils.run_dirs import latest_run
 
     run_dir = args.run_dir or latest_run()
     if run_dir is None:
-        print("no run directory found", file=sys.stderr)
-        return 1
+        return None
     # The run's persisted training config is the source of truth for the model
     # shape (and whether g_ema exists in the checkpoint tree); CLI --set
     # overrides still apply on top for runtime knobs.
@@ -116,6 +116,22 @@ def cmd_generate(args) -> int:
     state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
     mgr = CheckpointManager(os.path.join(run_dir, "checkpoints"))
     state, meta = mgr.restore(state, best=args.best)
+    return cfg, gan, state, meta, run_dir
+
+
+def cmd_generate(args) -> int:
+    """Load a checkpoint, sample a grid (ref:src/v2/generation.py:26-60)."""
+    import jax
+    import numpy as np
+
+    from vitgan_tpu.train import make_sample_fn
+    from vitgan_tpu.utils.images import save_image_grid
+
+    loaded = _load_run_state(args)
+    if loaded is None:
+        print("no run directory found", file=sys.stderr)
+        return 1
+    cfg, gan, state, meta, run_dir = loaded
     sample = make_sample_fn(gan, cfg)
     z = gan.sample_latent(jax.random.PRNGKey(args.seed or 0), args.num_images)
     # Sample from the EMA params when tracked — same weights FID/best tracking use.
@@ -124,6 +140,59 @@ def cmd_generate(args) -> int:
     save_image_grid(os.path.join(out_dir, "generated_images.png"), imgs)
     np.save(os.path.join(out_dir, "noise.npy"), np.asarray(z))
     print(f"wrote {args.num_images} samples to {out_dir} (ckpt step {meta.get('step')})")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    """Full sample-quality evaluation of a checkpoint: FID + KID +
+    precision/recall against the run's dataset, one JSON line + metrics.json."""
+    import jax
+    import numpy as np
+
+    from vitgan_tpu.data import make_pipeline
+    from vitgan_tpu.train import make_sample_fn
+    from vitgan_tpu.train.fid import make_feature_extractor, to_uint8
+    from vitgan_tpu.train.metrics import collect_features, evaluate_generative_metrics
+
+    loaded = _load_run_state(args)
+    if loaded is None:
+        print("no run directory found", file=sys.stderr)
+        return 1
+    cfg, gan, state, meta, run_dir = loaded
+    b = cfg.model.batch_size
+    pipeline = make_pipeline(cfg.data, b, cfg.model.image_size, cfg.model.channels,
+                             seed=cfg.model.seed)
+    num = min(args.num_samples, pipeline.num_samples)
+    extractor = make_feature_extractor(args.extractor, cfg.model.channels)
+
+    real_feats = collect_features(
+        extractor, (np.asarray(x) for x, _ in pipeline.epoch()), num)
+
+    sample = make_sample_fn(gan, cfg)
+    rng = jax.random.PRNGKey(args.seed or 0)
+
+    def fake_batches():
+        nonlocal rng
+        while True:
+            rng, k = jax.random.split(rng)
+            z = gan.sample_latent(k, b)
+            yield to_uint8(np.asarray(sample(state.g_vars_ema, z)))
+
+    fake_feats = collect_features(extractor, fake_batches(), num)
+
+    result = evaluate_generative_metrics(
+        real_feats, fake_feats,
+        kid_subset_size=min(args.kid_subset_size, num),
+        kid_subsets=args.kid_subsets, pr_k=args.pr_k, seed=args.seed or 0)
+    result.update({
+        "run_dir": run_dir, "ckpt_step": meta.get("step"),
+        "extractor": getattr(extractor, "feature_dim", None) and args.extractor,
+        "dataset": cfg.data.dataset,
+    })
+    out_path = os.path.join(run_dir, "metrics.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
     return 0
 
 
@@ -214,6 +283,21 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--best", action="store_true", help="use the best-FID checkpoint")
     g.add_argument("--num-images", type=int, default=64)
     g.set_defaults(fn=cmd_generate)
+
+    e = sub.add_parser("eval", help="FID/KID/precision-recall for a checkpoint")
+    common(e)
+    e.add_argument("--run-dir", default=None, help="defaults to latest under $SCRATCH/output")
+    e.add_argument("--best", action="store_true", help="use the best-FID checkpoint")
+    e.add_argument("--num-samples", type=int, default=2048,
+                   help="evaluation budget per side (real and generated)")
+    e.add_argument("--extractor", default="auto",
+                   choices=["auto", "inception", "inception_jax", "inception_torch",
+                            "random_conv"])
+    e.add_argument("--kid-subset-size", type=int, default=1000)
+    e.add_argument("--kid-subsets", type=int, default=100)
+    e.add_argument("--pr-k", type=int, default=3,
+                   help="k-NN order for the precision/recall manifolds")
+    e.set_defaults(fn=cmd_eval)
 
     v = sub.add_parser("serve", help="batched sampling server over HTTP")
     v.add_argument("--run-dir", action="append", default=None,
