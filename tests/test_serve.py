@@ -145,3 +145,114 @@ def test_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(server + "/nope")
     assert exc.value.code == 404
+
+
+def test_parse_priority():
+    from vitgan_tpu.serve import parse_priority
+
+    assert parse_priority(None) == 0
+    assert parse_priority("interactive") == 0
+    assert parse_priority("batch") == 10
+    assert parse_priority(3) == 3
+    with pytest.raises(ValueError):
+        parse_priority("urgent")
+
+
+def test_priority_gate_orders_waiters():
+    """With the gate held, a later-arriving interactive waiter must be admitted
+    before an earlier batch waiter (a plain Lock wakes arbitrarily)."""
+    import time
+
+    from vitgan_tpu.serve import PriorityGate
+
+    gate = PriorityGate()
+    gate.acquire(0)
+    order = []
+
+    def waiter(prio, name, delay):
+        time.sleep(delay)  # enforce arrival order: batch first
+        gate.acquire(prio)
+        order.append(name)
+        gate.release()
+
+    threads = [threading.Thread(target=waiter, args=(10, "batch", 0.0)),
+               threading.Thread(target=waiter, args=(0, "interactive", 0.15))]
+    for t in threads:
+        t.start()
+    time.sleep(0.4)  # both enqueued behind the held gate
+    gate.release()
+    for t in threads:
+        t.join(timeout=5)
+    assert order == ["interactive", "batch"]
+
+
+def test_interactive_preempts_long_batch_between_device_calls():
+    """A 4-batch 'batch'-priority request must yield the device to a queued
+    interactive request at fixed-batch granularity."""
+    import time
+
+    import jax
+
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.serve import SamplerService
+    from vitgan_tpu.train import create_train_state
+
+    cfg = C.smoke_config("mlp")
+    gan = build_gan(cfg)
+    state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
+    service = SamplerService(cfg, gan, state.g_vars_ema, batch=8)
+
+    calls = []
+    real_generate = service._generate
+    batch_in_flight = threading.Event()
+
+    def instrumented_generate(rng):
+        name = threading.current_thread().name
+        calls.append(name)
+        out = real_generate(rng)
+        if name == "batch":
+            batch_in_flight.set()
+            if calls.count("batch") == 1:
+                # Deterministic interleaving: hold batch call 1 of 4 until the
+                # interactive request is queued at the gate (priority 0 waiter).
+                deadline = time.time() + 10
+                while time.time() < deadline:
+                    with service._gate._cond:
+                        if any(p == 0 for p, _ in service._gate._waiting):
+                            break
+                    time.sleep(0.005)
+        return out
+
+    service._generate = instrumented_generate
+    done = {}
+
+    def batch_req():
+        done["batch"] = service.sample(32, seed=1, priority="batch")
+
+    def interactive_req():
+        batch_in_flight.wait(timeout=10)  # arrive while batch call 1 is in flight
+        done["inter"] = service.sample(4, seed=2, priority="interactive")
+
+    tb = threading.Thread(target=batch_req, name="batch")
+    ti = threading.Thread(target=interactive_req, name="inter")
+    tb.start(); ti.start()
+    tb.join(timeout=30); ti.join(timeout=30)
+
+    assert done["batch"].shape[0] == 32 and done["inter"].shape[0] == 4
+    # The interactive call ran BETWEEN batch device calls, not after all four.
+    first_inter = calls.index("inter")
+    assert 0 < first_inter < 4, f"no preemption: call order {calls}"
+    # Seeded batch results stay reproducible despite the interleaving.
+    again = service.sample(32, seed=1, priority="batch")
+    np.testing.assert_array_equal(done["batch"], again)
+    # Priority metrics recorded both classes.
+    text = service.metrics_text()
+    assert 'vitgan_priority_requests{priority="interactive"}' in text
+    assert 'vitgan_priority_requests{priority="batch"}' in text
+
+
+def test_sample_priority_over_http(server):
+    status, _, body = _post(server, {"n": 2, "format": "npy", "priority": "batch"})
+    assert status == 200
+    status, _, body = _post(server, {"n": 2, "priority": "nope"})
+    assert status == 400 and b"unknown priority" in body

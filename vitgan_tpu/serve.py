@@ -12,26 +12,94 @@ Endpoints (stdlib http.server — zero new dependencies):
 - ``GET  /metrics``            -> OpenMetrics text (requests/images/device
   calls/sample seconds) for scrape-based monitoring
 - ``POST /sample``             -> body {"n": int, "seed": int?, "model": str?,
-  "format": "png"|"npy"}
+  "format": "png"|"npy", "priority": "interactive"|"batch"|int}
   returns an image grid (image/png) or raw [-1,1] float32 samples
   (application/octet-stream, .npy bytes).  ``n`` is served by slicing one or
   more fixed-batch generator calls, so arbitrary n never recompiles; seeded
   requests are reproducible, unseeded requests coalesce into shared batches
   (see SamplerService).
 
+Scheduling: device access goes through a priority gate, not a FIFO lock —
+"interactive" (default, 0) beats "batch" (10), lower value wins, FIFO within
+a class.  Multi-call requests re-enter the gate between device calls, so a
+queued interactive request preempts a long batch request at fixed-batch
+granularity instead of waiting for all of it.
+
 Start:  python -m vitgan_tpu.cli serve --run-dir <run> --port 8000
 """
 
 from __future__ import annotations
 
+import heapq
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+from typing import Optional, Union
 
 import jax
 import numpy as np
+
+PRIORITY_CLASSES = {"interactive": 0, "batch": 10}
+
+
+def parse_priority(value: Union[str, int, None]) -> int:
+    """'interactive' | 'batch' | int -> numeric priority (lower wins)."""
+    if value is None:
+        return PRIORITY_CLASSES["interactive"]
+    if isinstance(value, str):
+        if value in PRIORITY_CLASSES:
+            return PRIORITY_CLASSES[value]
+        raise ValueError(f"unknown priority {value!r} "
+                         f"(have: {sorted(PRIORITY_CLASSES)} or an int)")
+    return int(value)
+
+
+class PriorityGate:
+    """A lock whose waiters acquire in (priority, arrival) order.
+
+    ``threading.Lock`` wakes an arbitrary waiter; this gate keeps a heap of
+    waiting tickets and admits the smallest — so an interactive request queued
+    behind ten batch requests runs next, not eleventh."""
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._held = False
+        self._waiting: list = []
+        self._seq = 0
+
+    def acquire(self, priority: int = 0) -> float:
+        """Block until first in line; returns seconds spent waiting."""
+        t0 = time.perf_counter()
+        with self._cond:
+            ticket = (priority, self._seq)
+            self._seq += 1
+            heapq.heappush(self._waiting, ticket)
+            while self._held or self._waiting[0] != ticket:
+                self._cond.wait()
+            heapq.heappop(self._waiting)
+            self._held = True
+        return time.perf_counter() - t0
+
+    def release(self) -> None:
+        with self._cond:
+            self._held = False
+            self._cond.notify_all()
+
+    class _Section:
+        def __init__(self, gate, priority):
+            self.gate, self.priority = gate, priority
+
+        def __enter__(self):
+            self.gate.acquire(self.priority)
+            return self
+
+        def __exit__(self, *exc):
+            self.gate.release()
+
+    def held(self, priority: int = 0) -> "PriorityGate._Section":
+        return PriorityGate._Section(self, priority)
 
 
 class SamplerService:
@@ -52,11 +120,15 @@ class SamplerService:
         self.g_vars = g_vars
         self.batch = batch
         self._sample = make_sample_fn(gan, cfg)
-        self._lock = threading.Lock()  # one device user at a time
+        # One device user at a time, admitted in (priority, arrival) order.
+        self._gate = PriorityGate()
+        self._stats_lock = threading.Lock()
         self._counter = 0
         self._device_calls = 0
         self._images_served = 0
         self._sample_seconds = 0.0
+        self._by_class = {name: {"requests": 0, "wait_seconds": 0.0}
+                          for name in PRIORITY_CLASSES}
         self._pool = np.zeros((0,), np.float32)  # leftover unseeded samples
         self._pool_key = jax.random.PRNGKey(0x5E11)
         # Warm the compile so the first request is fast.
@@ -89,7 +161,23 @@ class SamplerService:
             "# TYPE vitgan_sample_seconds counter",
             f"vitgan_sample_seconds{tag} {self._sample_seconds:.6f}",
         ]
+        for cls, st in self._by_class.items():
+            ptag = (tag[:-1] + f',priority="{cls}"}}') if tag else f'{{priority="{cls}"}}'
+            lines += [
+                "# TYPE vitgan_priority_requests counter",
+                f"vitgan_priority_requests{ptag} {st['requests']}",
+                "# TYPE vitgan_priority_wait_seconds counter",
+                f"vitgan_priority_wait_seconds{ptag} {st['wait_seconds']:.6f}",
+            ]
         return "\n".join(lines) + "\n"
+
+    def _note_request(self, priority: int, waited: float, images: int) -> None:
+        cls = "interactive" if priority <= PRIORITY_CLASSES["interactive"] else "batch"
+        with self._stats_lock:
+            self._counter += 1
+            self._images_served += images
+            self._by_class[cls]["requests"] += 1
+            self._by_class[cls]["wait_seconds"] += waited
 
     def _generate(self, rng) -> np.ndarray:
         """One fixed-shape generator call (the only device entry point)."""
@@ -102,27 +190,42 @@ class SamplerService:
         self._device_calls += 1
         return imgs
 
-    def sample(self, n: int, seed: Optional[int] = None) -> np.ndarray:
-        """n images in [-1,1]; seeded => reproducible, unseeded => coalesced."""
+    def sample(self, n: int, seed: Optional[int] = None,
+               priority: Union[str, int, None] = None) -> np.ndarray:
+        """n images in [-1,1]; seeded => reproducible, unseeded => coalesced.
+
+        The priority gate is re-entered between device calls, so a multi-batch
+        request yields to any higher-priority request at fixed-batch
+        granularity (seeded results stay reproducible regardless of the
+        interleaving: batch ``call`` of seed s is always
+        fold_in(PRNGKey(s), call))."""
         if n < 1:
             raise ValueError("n must be >= 1")
-        with self._lock:
-            self._counter += 1
-            self._images_served += n
-            if seed is not None:
-                out, done, call = [], 0, 0
-                while done < n:
-                    rng = jax.random.fold_in(jax.random.PRNGKey(seed), call)
+        prio = parse_priority(priority)
+        waited = 0.0
+        if seed is not None:
+            out, done, call = [], 0, 0
+            while done < n:
+                rng = jax.random.fold_in(jax.random.PRNGKey(seed), call)
+                waited += self._gate.acquire(prio)
+                try:
                     imgs = self._generate(rng)
-                    take = min(self.batch, n - done)
-                    out.append(imgs[:take])
-                    done += take
-                    call += 1
-                return np.concatenate(out, 0)
-            # Unseeded: slice from the shared pool, refilling batch-at-a-time.
-            out = []
-            need = n
-            while need > 0:
+                finally:
+                    self._gate.release()
+                take = min(self.batch, n - done)
+                out.append(imgs[:take])
+                done += take
+                call += 1
+            self._note_request(prio, waited, n)
+            return np.concatenate(out, 0)
+        # Unseeded: slice from the shared pool, refilling batch-at-a-time.
+        # The pool is gate-protected state, so each refill+slice runs inside
+        # one held section.
+        out = []
+        need = n
+        while need > 0:
+            waited += self._gate.acquire(prio)
+            try:
                 if self._pool.shape[0] == 0:
                     self._pool_key, sub = jax.random.split(self._pool_key)
                     self._pool = self._generate(sub)
@@ -130,7 +233,10 @@ class SamplerService:
                 out.append(self._pool[:take])
                 self._pool = self._pool[take:]
                 need -= take
-            return np.concatenate(out, 0)
+            finally:
+                self._gate.release()
+        self._note_request(prio, waited, n)
+        return np.concatenate(out, 0)
 
 
 def load_service(run_dir: str, batch: int = 64, best: bool = False) -> SamplerService:
@@ -204,7 +310,8 @@ def _make_handler(services):
                 if name not in services:
                     raise ValueError(f"unknown model {name!r} "
                                      f"(have: {sorted(services)})")
-                imgs = services[name].sample(n, req.get("seed"))
+                imgs = services[name].sample(n, req.get("seed"),
+                                             req.get("priority"))
                 fmt = req.get("format", "png")
                 if fmt == "npy":
                     buf = io.BytesIO()
