@@ -162,3 +162,50 @@ def test_cli_eval_end_to_end(dev_env, capsys):
     # Persisted alongside the run for later inspection.
     with open(os.path.join(run_dir, "metrics.json")) as f:
         assert json.load(f)["num_fake"] == 64
+
+
+def test_inception_score_bounds():
+    from vitgan_tpu.train.metrics import inception_score
+
+    n, c = 100, 10
+    # Uniform p(y|x): no confidence -> IS = 1.
+    uniform = np.zeros((n, c))
+    mean, _ = inception_score(uniform, splits=2)
+    assert mean == pytest.approx(1.0, abs=1e-9)
+    # Confident AND diverse (one-hot cycling all classes) -> IS = #classes.
+    diverse = np.full((n, c), -50.0)
+    diverse[np.arange(n), np.arange(n) % c] = 50.0
+    mean, _ = inception_score(diverse, splits=2)
+    assert mean == pytest.approx(c, rel=1e-6)
+    # Confident but collapsed to one class -> IS = 1.
+    collapsed = np.full((n, c), -50.0)
+    collapsed[:, 3] = 50.0
+    mean, _ = inception_score(collapsed, splits=2)
+    assert mean == pytest.approx(1.0, abs=1e-6)
+    with pytest.raises(ValueError):
+        inception_score(np.zeros(5))
+
+
+def test_inception_fc_conversion_and_apply():
+    from vitgan_tpu.models import inception as I
+
+    sd = I.random_torch_state_dict(seed=1)
+    assert "fc.weight" in sd
+    params = I.convert_torch_state_dict(sd)
+    assert params["fc"]["w"].shape == (2048, 1000)
+    feats = np.random.default_rng(0).normal(size=(4, 2048)).astype(np.float32)
+    got = np.asarray(I.apply_fc(params, feats))
+    want = feats @ sd["fc.weight"].T + sd["fc.bias"]
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    # Round-trips through the npz container.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "w.npz")
+        I.save_params(path, params)
+        loaded = I.load_params(path)
+    np.testing.assert_array_equal(loaded["fc"]["w"], params["fc"]["w"])
+    # pytorch-fid checkpoints carry no head: clear error, not silent garbage.
+    params.pop("fc")
+    with pytest.raises(KeyError):
+        I.apply_fc(params, feats)

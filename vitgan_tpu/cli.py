@@ -168,22 +168,32 @@ def cmd_eval(args) -> int:
     real_feats = collect_features(
         extractor, (np.asarray(x) for x, _ in pipeline.epoch()), num)
 
+    # One fake sample set, reused for features and (when available) IS logits.
     sample = make_sample_fn(gan, cfg)
     rng = jax.random.PRNGKey(args.seed or 0)
+    fakes_u8 = []
+    got = 0
+    while got < num:
+        rng, k = jax.random.split(rng)
+        z = gan.sample_latent(k, b)
+        batch_u8 = to_uint8(np.asarray(sample(state.g_vars_ema, z)))[:num - got]
+        fakes_u8.append(batch_u8)
+        got += len(batch_u8)
+    fakes_u8 = np.concatenate(fakes_u8, 0)
+    fake_feats = np.asarray(extractor(fakes_u8), np.float64)
 
-    def fake_batches():
-        nonlocal rng
-        while True:
-            rng, k = jax.random.split(rng)
-            z = gan.sample_latent(k, b)
-            yield to_uint8(np.asarray(sample(state.g_vars_ema, z)))
+    inception_is = None
+    if hasattr(extractor, "logits_fn"):  # classifier head present -> also IS
+        from vitgan_tpu.train.metrics import inception_score
 
-    fake_feats = collect_features(extractor, fake_batches(), num)
+        inception_is = inception_score(extractor.logits_fn(fakes_u8))
 
     result = evaluate_generative_metrics(
         real_feats, fake_feats,
         kid_subset_size=min(args.kid_subset_size, num),
         kid_subsets=args.kid_subsets, pr_k=args.pr_k, seed=args.seed or 0)
+    if inception_is is not None:
+        result["inception_score_mean"], result["inception_score_std"] = inception_is
     result.update({
         "run_dir": run_dir, "ckpt_step": meta.get("step"),
         "extractor": getattr(extractor, "feature_dim", None) and args.extractor,

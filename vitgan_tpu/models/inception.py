@@ -140,8 +140,11 @@ def convert_torch_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Dict[str, n
     """Fold each BasicConv2d's eval-mode BatchNorm into its conv.
 
     Accepts torchvision ``inception_v3`` or pytorch-fid ``InceptionV3``
-    state_dicts (tensors or ndarrays); ``AuxLogits``/``fc`` entries are
-    ignored.  Returns ``{name: {"w": HWIO float32, "b": (c_out,) float32}}``.
+    state_dicts (tensors or ndarrays); ``AuxLogits`` entries are ignored.
+    Returns ``{name: {"w": HWIO float32, "b": (c_out,) float32}}``; when the
+    source has a classifier head (torchvision ``fc.weight``/``fc.bias``,
+    absent in pytorch-fid checkpoints) it is kept under ``"fc"`` as
+    ``{"w": (2048, classes), "b": (classes,)}`` so Inception Score works too.
     """
     def arr(key):
         v = sd[key]
@@ -149,6 +152,9 @@ def convert_torch_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Dict[str, n
                           np.float64)
 
     params = {}
+    if "fc.weight" in sd:
+        params["fc"] = {"w": arr("fc.weight").T.astype(np.float32),
+                        "b": arr("fc.bias").astype(np.float32)}
     for name, c_in, c_out, kh, kw in conv_specs():
         w = arr(f"{name}.conv.weight")          # (c_out, c_in, kh, kw)
         if w.shape != (c_out, c_in, kh, kw):
@@ -204,6 +210,9 @@ def random_torch_state_dict(seed: int = 0) -> Dict[str, np.ndarray]:
         sd[f"{name}.bn.bias"] = rng.normal(0.0, 0.05, c_out).astype(np.float32)
         sd[f"{name}.bn.running_mean"] = rng.normal(0.0, 0.05, c_out).astype(np.float32)
         sd[f"{name}.bn.running_var"] = (1.0 + rng.uniform(-0.1, 0.1, c_out)).astype(np.float32)
+    # Classifier head (torchvision schema) so the fc conversion is exercised.
+    sd["fc.weight"] = rng.normal(0.0, np.sqrt(1.0 / 2048), (1000, 2048)).astype(np.float32)
+    sd["fc.bias"] = np.zeros(1000, np.float32)
     return sd
 
 
@@ -358,3 +367,22 @@ def inception_features(params, x_u8: jnp.ndarray,
                          antialias=False)
     x = x * 2.0 - 1.0
     return inception_backbone(params, x).astype(jnp.float32)
+
+
+def apply_fc(params, feats: jnp.ndarray) -> jnp.ndarray:
+    """(N, 2048) pool3 features -> (N, classes) logits via the classifier head.
+
+    Requires a params tree converted from a torchvision checkpoint (pytorch-fid
+    checkpoints carry no ``fc``)."""
+    if "fc" not in params:
+        raise KeyError("params have no 'fc' head (pytorch-fid checkpoints don't "
+                       "include the classifier; port torchvision weights for "
+                       "Inception Score)")
+    return feats @ params["fc"]["w"] + params["fc"]["b"]
+
+
+def inception_logits(params, x_u8: jnp.ndarray,
+                     resize_to: int = INPUT_SIZE) -> jnp.ndarray:
+    """uint8 NHWC images -> (N, classes) classifier logits (Inception Score
+    path; same preprocessing as ``inception_features``)."""
+    return apply_fc(params, inception_features(params, x_u8, resize_to))

@@ -164,6 +164,17 @@ def make_inception_jax_extractor(weights_path: Optional[str] = None,
 
     fn.jax_feature_fn = lambda x_u8: I.inception_features(params, x_u8)
     fn.feature_dim = I.FEATURE_DIM
+    if "fc" in params:  # torchvision checkpoints carry the classifier head;
+        # pytorch-fid ones don't — Inception Score available only with the former.
+        logits_jit = jax.jit(lambda x_u8: I.inception_logits(params, x_u8))
+
+        def logits_fn(imgs: np.ndarray) -> np.ndarray:
+            imgs = np.asarray(imgs)
+            out = [np.asarray(logits_jit(jnp.asarray(imgs[i:i + batch])))
+                   for i in range(0, len(imgs), batch)]
+            return np.concatenate(out, 0)
+
+        fn.logits_fn = logits_fn
     return fn
 
 

@@ -89,6 +89,33 @@ def kernel_distance(
 
 
 # ---------------------------------------------------------------------------
+# Inception Score
+# ---------------------------------------------------------------------------
+
+
+def inception_score(logits: np.ndarray, splits: int = 10) -> Tuple[float, float]:
+    """IS = exp(E_x KL(p(y|x) || p(y))) from classifier logits (Salimans et
+    al. 2016), mean/std over ``splits`` chunks.  Needs a classifier head —
+    the InceptionV3 port keeps torchvision's ``fc`` (models/inception.py:
+    apply_fc); the reference never computes IS, this is a beyond-reference
+    metric.  Bounds: 1 (all samples one class, or uniform p(y|x)) to
+    #classes (confident AND uniformly diverse)."""
+    logits = np.asarray(logits, np.float64)
+    if logits.ndim != 2:
+        raise ValueError(f"expected (N, classes) logits, got {logits.shape}")
+    # Stable softmax.
+    z = logits - logits.max(axis=1, keepdims=True)
+    p = np.exp(z)
+    p /= p.sum(axis=1, keepdims=True)
+    scores = []
+    for chunk in np.array_split(p, min(splits, len(p))):
+        marginal = chunk.mean(axis=0, keepdims=True)
+        kl = (chunk * (np.log(chunk + 1e-16) - np.log(marginal + 1e-16))).sum(axis=1)
+        scores.append(float(np.exp(kl.mean())))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+# ---------------------------------------------------------------------------
 # Improved precision / recall (k-NN manifold estimate)
 # ---------------------------------------------------------------------------
 
