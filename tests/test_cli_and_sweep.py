@@ -96,3 +96,23 @@ def test_sweep_runner(dev_env):
     results = open(str(dev_env / "sweeps" / "sweep_results.jsonl")).read().strip().splitlines()
     assert len(results) == 2
     assert json.load(open(str(dev_env / "sweeps" / "best_config.json")))["trial"] in (0, 1)
+
+
+def test_cli_warmup_populates_compile_cache(dev_env, capsys):
+    """`warmup` AOT-compiles without running; a repeat hits the persistent
+    cache and must be much faster than the cold compile."""
+    rc = cli.main(["warmup", "mlp", "--scan", "2"])
+    assert rc == 0
+    cold = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cold["compile_seconds"]["mlp"] > 0
+    rc = cli.main(["warmup", "mlp", "--scan", "2"])
+    assert rc == 0
+    warm = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # In-process jit cache + persistent cache: repeat is near-instant.
+    assert warm["compile_seconds"]["mlp"] <= cold["compile_seconds"]["mlp"]
+    assert os.path.isdir(os.path.join(str(dev_env), "jax_cache"))
+
+
+def test_cli_warmup_bad_preset(dev_env):
+    with pytest.raises(KeyError):
+        cli.main(["warmup", "nosuch"])

@@ -254,6 +254,23 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_warmup(args) -> int:
+    """AOT-compile preset train steps into the persistent XLA cache, so the
+    first real `train`/`bench` of each preset skips its minutes-long compile."""
+    from vitgan_tpu.ops.policy import apply_from_runtime
+    from vitgan_tpu.utils.benchutil import build_preset_cfg, warmup_compile
+
+    out = {}
+    for preset in args.presets:
+        cfg = build_preset_cfg(preset)
+        apply_from_runtime(cfg.runtime)
+        out[preset] = round(warmup_compile(cfg, args.scan), 1)
+        print(f"[warmup] {preset}: compiled scan-{args.scan} step in "
+              f"{out[preset]}s", file=sys.stderr)
+    print(json.dumps({"compile_seconds": out, "scan": args.scan}))
+    return 0
+
+
 def cmd_sweep(args) -> int:
     from vitgan_tpu.hpo.sweep import run_sweep
 
@@ -328,6 +345,13 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--flops", action="store_true",
                    help="also print the XLA FLOP model + sustained TFLOP/s")
     b.set_defaults(fn=cmd_bench)
+
+    w = sub.add_parser("warmup", help="AOT-compile preset train steps into the "
+                                      "persistent XLA cache")
+    w.add_argument("presets", nargs="+",
+                   help="v1|v2|dcgan|cnn|mlp|deit64|hires128|hires256")
+    w.add_argument("--scan", type=int, default=16, help="steps per device call")
+    w.set_defaults(fn=cmd_warmup)
 
     s = sub.add_parser("sweep", help="hyperparameter sweep (Ray-free)")
     common(s)

@@ -79,3 +79,33 @@ def measure_scanned_train(cfg, scan_steps: int, iters: int,
     fn = make_device_data_train_fn(gan, cfg, scan_steps, donate=False)
     t = sync_timeit(fn, state, dataset, idx, iters=iters)
     return b * scan_steps / t
+
+
+def warmup_compile(cfg, scan_steps: int, dataset_images: int = 512) -> float:
+    """AOT-compile the scanned production train step WITHOUT running it.
+
+    Lowering against abstract ShapeDtypeStructs populates the persistent XLA
+    compilation cache ($SCRATCH/jax_cache), so a later ``train``/``bench`` of
+    the same preset skips its minutes-long first compile.  Returns seconds
+    spent compiling (near zero when already cached).
+    """
+    import time
+
+    import jax
+
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.train import create_train_state
+    from vitgan_tpu.train.step import make_device_data_train_fn
+
+    m = cfg.model
+    gan = build_gan(cfg)
+    state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
+    b, s, c = m.batch_size, m.image_size, m.channels
+    n_data = max(dataset_images, 2 * b)
+    abstract = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+    dataset = jax.ShapeDtypeStruct((n_data, s, s, c), np.uint8)
+    idx = jax.ShapeDtypeStruct((scan_steps, b), np.int32)
+    fn = make_device_data_train_fn(gan, cfg, scan_steps, donate=False)
+    t0 = time.perf_counter()
+    fn.lower(abstract, dataset, idx).compile()
+    return time.perf_counter() - t0
