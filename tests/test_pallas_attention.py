@@ -71,3 +71,57 @@ def test_dispatch_policy():
     assert not use_pallas_attention("auto", 4096) or any(
         d.platform == "tpu" for d in jax.devices()
     )
+
+
+@pytest.mark.parametrize("score_mode", ["dot", "l2"])
+@pytest.mark.parametrize("n", [40, 64])  # padded tail and exact-block shapes
+def test_fused_backward_matches_two_pass_and_reference(rng, score_mode, n):
+    """The single-pass backward must agree with the two-pass kernels AND the
+    XLA reference for both score modes, with and without padded rows."""
+    from vitgan_tpu.ops.policy import set_policy
+
+    q, k, v = _rand_qkv(rng, b=1, h=2, n=n, d=16)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, score_mode, 16.0, 32, 32, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, score_mode, 16.0) ** 2)
+
+    try:
+        set_policy(bwd_fusion="fused")
+        g_fused = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        set_policy(bwd_fusion="two_pass")
+        g_two = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        set_policy(bwd_fusion="auto")
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_fused, g_two):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6, err_msg=f"d{name} fused vs two-pass")
+    for name, a, b in zip("qkv", g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=5e-5, err_msg=f"d{name} fused vs reference")
+
+
+def test_fused_backward_multi_qk_blocks(rng):
+    """Several q-blocks AND k-blocks: exercises the scratch accumulation
+    across sequential k-block programs."""
+    from vitgan_tpu.ops.policy import set_policy
+
+    q, k, v = _rand_qkv(rng, b=1, h=1, n=128, d=16)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, "l2", 16.0, 32, 32, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, "l2", 16.0) ** 2)
+
+    try:
+        set_policy(bwd_fusion="fused")
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        set_policy(bwd_fusion="auto")
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)

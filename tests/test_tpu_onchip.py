@@ -139,3 +139,29 @@ def test_timed_pallas_vs_xla(capsys):
         for r in results:
             print("\nONCHIP " + json.dumps({k: round(v, 3) if isinstance(v, float) else v
                                             for k, v in r.items()}))
+
+
+@pytest.mark.parametrize("mode", ["dot", "l2"])
+def test_fused_backward_parity_on_chip(mode):
+    """Single-pass fused backward vs two-pass on the real chip (padded seq,
+    several q/k blocks — the scratch-accumulation path)."""
+    from vitgan_tpu.ops.policy import set_policy
+
+    q, k, v = _qkv(jax.random.PRNGKey(2), b=2, h=2, n=1000, d=64, dtype="float32")
+
+    def loss_flash(q, k, v):
+        return jnp.sum(A.flash_attention(q, k, v, mode, 64.0,
+                                         block_q=256, block_k=256) ** 2)
+
+    try:
+        set_policy(bwd_fusion="fused")
+        gf = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+        gf = [np.asarray(x) for x in gf]
+        set_policy(bwd_fusion="two_pass")
+        gt = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+        gt = [np.asarray(x) for x in gt]
+    finally:
+        set_policy(bwd_fusion="auto")
+    for a, b, name in zip(gf, gt, "qkv"):
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-9)
+        assert rel < 1e-3, f"d{name} fused-vs-two-pass rel-norm err {rel:.5f} ({mode})"

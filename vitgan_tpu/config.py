@@ -255,6 +255,10 @@ class RuntimeConfig:
     # Measured A/B on v5e: no win (XLA tiles partial lanes well), so 'auto'
     # never pads; 'always' remains as an experiment knob.
     head_pad: str = "auto"  # auto | always | never
+    # Flash-backward kernel: 'fused' single-pass dq+dk+dv (5 block matmuls)
+    # vs 'two_pass' dq then dk/dv (7, with DMA-streaming variants); 'auto'
+    # fuses within the VMEM budget (ops/attention.py).
+    bwd_fusion: str = "auto"  # auto | fused | two_pass
 
 
 @dataclass(frozen=True)

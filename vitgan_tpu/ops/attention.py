@@ -495,6 +495,132 @@ def _flash_bwd_dkv_kernel_dma(q_hbm, k_ref, v_ref, do_hbm, lse_ref, delta_ref,
     _dkv_finalize(dk_ref, dv_ref, k_blk, dk, dv, ds_colsum, score_mode, inv_scale)
 
 
+def _flash_bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                            dq_ref, dk_ref, dv_ref, dq_acc, rs_acc, *,
+                            score_mode: str, inv_scale: float, block_q: int,
+                            block_k: int, seq_len: int):
+    """Single-pass flash backward: dq, dk, dv in ONE sweep (5 matmuls/tile).
+
+    The two-pass backward recomputes the score and dp matmuls in both the dq
+    and the dk/dv kernels (7 block-matmuls total); this kernel computes them
+    once.  Grid is (batch*heads, k-blocks) with the k index iterating fastest:
+    each program owns one k-block's dk/dv and scatters its dq contributions
+    into a full-sequence float32 VMEM accumulator, which persists across the
+    sequential k-block visits (TPU grid programs run in order on one core)
+    and is flushed to the dq output at the last k-block.  Q/dO blocks are
+    VMEM-resident across visits (their index map ignores the k position), so
+    nothing is refetched from HBM either.  VMEM-regime only — the streaming
+    path keeps the two-pass kernels.
+    """
+    ki = pl.program_id(1)
+    num_kb = pl.num_programs(1)
+    k_blk = k_ref[0]                           # (Bk, D), input dtype
+    v_blk = v_ref[0]
+    n_pad = q_ref.shape[1]
+    num_qb = n_pad // block_q
+    in_dtype = k_blk.dtype
+    padded = seq_len < n_pad
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros(dq_acc.shape, dq_acc.dtype)
+        if score_mode == "l2":
+            rs_acc[...] = jnp.zeros(rs_acc.shape, rs_acc.dtype)
+
+    kk = (jnp.sum(k_blk.astype(jnp.float32) ** 2, axis=-1)[None, :]
+          if score_mode == "l2" else None)
+
+    def body(qb, carry):
+        dk, dv, cs = carry
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :]
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :]
+        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+        qk = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        if score_mode == "dot":
+            s = qk * inv_scale
+        else:
+            qq = jnp.sum(q.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+            s = -jnp.maximum(qq + kk - 2.0 * qk, 0.0) * inv_scale
+        if padded:
+            key_ids = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(key_ids < seq_len, s, NEG_INF)
+            row_ids = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            p = jnp.where(row_ids < seq_len, jnp.exp(s - lse), 0.0)
+        else:
+            p = jnp.exp(s - lse)
+        dv = dv + jnp.dot(p.astype(in_dtype).T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk = dk + jnp.dot(ds.astype(in_dtype).T, q, preferred_element_type=jnp.float32)
+        cs = cs + jnp.sum(ds, axis=0)[:, None]
+        # dq contribution of this (q-block, k-block) tile — accumulated across
+        # the sequential k-block programs.
+        sl = pl.ds(qb * block_q, block_q)
+        dq_acc[sl, :] = dq_acc[sl, :] + jnp.dot(ds.astype(in_dtype), k_blk,
+                                                preferred_element_type=jnp.float32)
+        if score_mode == "l2":
+            rs = jnp.sum(ds, axis=-1)
+            rs_acc[:, sl] = rs_acc[:, sl] + jnp.broadcast_to(rs[None, :],
+                                                             (8, block_q))
+        return dk, dv, cs
+
+    z = jnp.zeros(k_blk.shape, jnp.float32)
+    cs0 = jnp.zeros((k_blk.shape[0], 1), jnp.float32)
+    dk, dv, ds_colsum = jax.lax.fori_loop(0, num_qb, body, (z, z, cs0))
+    _dkv_finalize(dk_ref, dv_ref, k_blk, dk, dv, ds_colsum, score_mode, inv_scale)
+
+    @pl.when(ki == num_kb - 1)
+    def _flush_dq():
+        if score_mode == "dot":
+            dq_ref[0] = (inv_scale * dq_acc[...]).astype(dq_ref.dtype)
+        else:
+            rs = rs_acc[0, :][:, None]
+            dq_ref[0] = (2.0 * inv_scale
+                         * (dq_acc[...] - rs * q_ref[0].astype(jnp.float32))
+                         ).astype(dq_ref.dtype)
+
+
+def _flash_backward_fused(qp, kp, vp, gp, lse_p, delta, bh, n_pad, d_pad,
+                          score_mode, inv_scale, block_q, block_k, seq_len,
+                          interpret, dtype):
+    """pallas_call wrapper for the single-pass backward (VMEM regime)."""
+    kernel = functools.partial(
+        _flash_bwd_fused_kernel, score_mode=score_mode, inv_scale=inv_scale,
+        block_q=block_q, block_k=block_k, seq_len=seq_len)
+    full_q = pl.BlockSpec((1, n_pad, d_pad), lambda b, ki: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    full_row = pl.BlockSpec((1, 8, n_pad), lambda b, ki: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, block_k, d_pad), lambda b, ki: (b, ki, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, n_pad, d_pad), dtype),   # dq
+            jax.ShapeDtypeStruct((bh, n_pad, d_pad), dtype),   # dk
+            jax.ShapeDtypeStruct((bh, n_pad, d_pad), dtype),   # dv
+        ),
+        grid=(bh, n_pad // block_k),
+        in_specs=[full_q, k_spec, k_spec, full_q, full_row, full_row],
+        out_specs=(full_q, k_spec, k_spec),
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, d_pad), jnp.float32),   # dq accumulator
+            pltpu.VMEM((8, n_pad), jnp.float32),       # l2 ds-rowsum accumulator
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse_p, delta)
+
+
+# Above this K/V byte size the fused backward's full-sequence VMEM residency
+# (q + dO + dq accumulator + score tiles) stops fitting; use the two-pass
+# kernels (which also have DMA-streaming variants) instead.
+_FUSED_BWD_KV_BUDGET_BYTES = 4 * 1024 * 1024
+# Score-tile width: the fused kernel keeps 4 (block_q x block_k) f32 tiles
+# live; 512 blocks keep that under 4MB where 1024 blocks would need 16MB.
+_FUSED_BWD_MAX_BLOCK = 512
+
+
 def _flash_backward(q, k, v, out, lse, g, score_mode: str, scale: float,
                     block_q: int, block_k: int, interpret: bool):
     b, h, n, d = q.shape
@@ -512,7 +638,23 @@ def _flash_backward(q, k, v, out, lse, g, score_mode: str, scale: float,
                              memory_space=pltpu.VMEM)
     full_row = pl.BlockSpec((1, 8, n_pad), lambda bh, i: (bh, 0, 0),
                             memory_space=pltpu.VMEM)
-    stream = 2 * n_pad * d_pad * q.dtype.itemsize > _KV_VMEM_BUDGET_BYTES
+    kv_bytes = 2 * n_pad * d_pad * q.dtype.itemsize
+    stream = kv_bytes > _KV_VMEM_BUDGET_BYTES
+
+    from vitgan_tpu.ops.policy import bwd_fusion_mode
+
+    fuse = bwd_fusion_mode()
+    if fuse == "auto":
+        fuse = "fused" if kv_bytes <= _FUSED_BWD_KV_BUDGET_BYTES else "two_pass"
+    if fuse == "fused" and not stream:
+        fb_q = min(block_q, _FUSED_BWD_MAX_BLOCK)
+        fb_k = min(block_k, _FUSED_BWD_MAX_BLOCK)
+        if n_pad % fb_q == 0 and n_pad % fb_k == 0:
+            dq, dk, dv = _flash_backward_fused(
+                qp, kp, vp, gp, lse_p, delta, b * h, n_pad, d_pad, score_mode,
+                inv_scale, fb_q, fb_k, n, interpret, q.dtype)
+            unpad = lambda x: x.reshape(b, h, n_pad, d_pad)[:, :, :n, :d]  # noqa: E731
+            return unpad(dq), unpad(dk), unpad(dv)
 
     q_blk_spec = pl.BlockSpec((1, block_q, d_pad), lambda bh, qi: (bh, qi, 0),
                               memory_space=pltpu.VMEM)

@@ -13,12 +13,12 @@ from __future__ import annotations
 import jax
 
 _POLICY = {"mode": "auto", "min_seq_len": 256, "min_mlp_rows": 2048, "remat": "never",
-           "head_pad": "auto"}
+           "head_pad": "auto", "bwd_fusion": "auto"}
 
 
 def set_policy(mode: str | None = None, min_seq_len: int | None = None,
                min_mlp_rows: int | None = None, remat=None,
-               head_pad: str | None = None) -> None:
+               head_pad: str | None = None, bwd_fusion: str | None = None) -> None:
     if mode is not None:
         assert mode in ("auto", "always", "never"), mode
         _POLICY["mode"] = mode
@@ -34,6 +34,17 @@ def set_policy(mode: str | None = None, min_seq_len: int | None = None,
     if head_pad is not None:
         assert head_pad in ("auto", "always", "never"), head_pad
         _POLICY["head_pad"] = head_pad
+    if bwd_fusion is not None:
+        assert bwd_fusion in ("auto", "fused", "two_pass"), bwd_fusion
+        _POLICY["bwd_fusion"] = bwd_fusion
+
+
+def bwd_fusion_mode() -> str:
+    """Flash-backward kernel choice: 'fused' = single-pass dq+dk+dv (5 block
+    matmuls, full-sequence VMEM residency), 'two_pass' = separate dq and
+    dk/dv kernels (7 block matmuls, has DMA-streaming variants), 'auto' =
+    fused within its VMEM budget (attention._FUSED_BWD_KV_BUDGET_BYTES)."""
+    return _POLICY["bwd_fusion"]
 
 
 def head_pad_amount(head_dim: int) -> int:
@@ -85,7 +96,8 @@ def on_tpu() -> bool:
 def apply_from_runtime(runtime_cfg) -> None:
     """Configure from a RuntimeConfig (vitgan_tpu.config.RuntimeConfig)."""
     set_policy(mode=runtime_cfg.use_pallas, remat=runtime_cfg.remat,
-               head_pad=getattr(runtime_cfg, "head_pad", None))
+               head_pad=getattr(runtime_cfg, "head_pad", None),
+               bwd_fusion=getattr(runtime_cfg, "bwd_fusion", None))
     impl = getattr(runtime_cfg, "prng_impl", None)
     if impl:
         jax.config.update("jax_default_prng_impl", impl)
