@@ -345,9 +345,14 @@ class Trainer:
                 if run.sample_grid_every_epochs and (epoch + 1) % run.sample_grid_every_epochs == 0:
                     self._save_grids(epoch)
                 if run.fid_every_epochs and (epoch + 1) % run.fid_every_epochs == 0:
+                    t_fid = time.time()
                     fid_val = self.evaluate_fid()
                     means["fid"] = fid_val
                     self.metrics.scalar("eval/fid", fid_val, int(self.state.step))
+                    # images_per_sec deliberately excludes eval; log the eval
+                    # wall so the per-epoch FID cost stays visible/honest.
+                    self.metrics.scalar("eval/fid_seconds", time.time() - t_fid,
+                                        int(self.state.step))
                     # Best-model tracking on a NAMED criterion (default fid),
                     # the role of ref:src/v1/gan.py:77,136-138.
                     crit = means.get(run.best_metric, fid_val)
