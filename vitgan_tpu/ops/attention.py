@@ -645,7 +645,12 @@ def _flash_backward(q, k, v, out, lse, g, score_mode: str, scale: float,
 
     fuse = bwd_fusion_mode()
     if fuse == "auto":
-        fuse = "fused" if kv_bytes <= _FUSED_BWD_KV_BUDGET_BYTES else "two_pass"
+        # Measured on v5e (scripts/bench_bwd_fusion.py, transfer-free timing):
+        # dot fused wins 1.14x at 1024x64 and 1.09x at 4096x96; l2 fused is
+        # 0.98x (its extra VPU work erases the saved matmuls at the fused
+        # kernel's 512-block clamp) -> auto fuses dot only, within budget.
+        fuse = ("fused" if score_mode == "dot"
+                and kv_bytes <= _FUSED_BWD_KV_BUDGET_BYTES else "two_pass")
     if fuse == "fused" and not stream:
         fb_q = min(block_q, _FUSED_BWD_MAX_BLOCK)
         fb_k = min(block_k, _FUSED_BWD_MAX_BLOCK)
