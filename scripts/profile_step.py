@@ -27,34 +27,47 @@ import numpy as np  # noqa: E402
 
 
 def capture(preset: str, scan_steps: int) -> str:
+    """scan_steps >= 2: the scanned production call (the lax.scan while shows
+    as ONE op in the trace).  scan_steps == 1: a flat single-step jit
+    (make_train_step) so every fusion inside the step is individually
+    attributed — use this to see WHERE the step time goes."""
     from vitgan_tpu.ops.policy import apply_from_runtime
     from vitgan_tpu.utils.benchutil import build_preset_cfg
     from vitgan_tpu.models import build_gan
     from vitgan_tpu.train import create_train_state
-    from vitgan_tpu.train.step import make_device_data_train_fn
+    from vitgan_tpu.train.step import make_device_data_train_fn, make_train_step
     from vitgan_tpu.utils.timing import _readback
 
     cfg = build_preset_cfg(preset)
     apply_from_runtime(cfg.runtime)
     gan = build_gan(cfg)
     state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
-    step = make_device_data_train_fn(gan, cfg, scan_steps, donate=False)
 
     b = cfg.model.batch_size
     s = cfg.model.image_size
     host = np.random.default_rng(0)
-    dataset = jax.device_put(host.integers(0, 256, (2048, s, s, cfg.model.channels),
-                                           dtype=np.uint8))
-    idx = jax.device_put(host.integers(0, 2048, (2, scan_steps, b)).astype(np.int32))
+    label = preset
+    if scan_steps == 1:
+        step = make_train_step(gan, cfg, donate=False)
+        real = jax.device_put(host.uniform(-1, 1, (b, s, s, cfg.model.channels))
+                              .astype(np.float32))
+        run = lambda st: step(st, real)  # noqa: E731
+        label = f"{preset}_raw"
+    else:
+        dstep = make_device_data_train_fn(gan, cfg, scan_steps, donate=False)
+        dataset = jax.device_put(host.integers(0, 256, (2048, s, s, cfg.model.channels),
+                                               dtype=np.uint8))
+        idx = jax.device_put(host.integers(0, 2048, (2, scan_steps, b)).astype(np.int32))
+        run = lambda st: dstep(st, dataset, idx[0])  # noqa: E731
 
     # Warmup: compile + force full readback (axon sync gotcha).
-    state, _ = step(state, dataset, idx[0])
+    state, _ = run(state)
     _readback(state.g_params)
 
-    log_dir = os.path.join(os.environ.get("SCRATCH", "/tmp"), "profiles", preset)
+    log_dir = os.path.join(os.environ.get("SCRATCH", "/tmp"), "profiles", label)
     os.makedirs(log_dir, exist_ok=True)
     jax.profiler.start_trace(log_dir)
-    state, _ = step(state, dataset, idx[1])
+    state, _ = run(state)
     _readback(state.g_params)
     jax.profiler.stop_trace()
     return log_dir
