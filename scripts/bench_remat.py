@@ -2,7 +2,9 @@
 
 ``runtime.remat`` trades recompute FLOPs for HBM: 'full' checkpoints whole
 transformer blocks, 'dots' (jax.checkpoint_policies.dots_with_no_batch_dims_
-saveable) keeps MXU outputs and recomputes only elementwise work, 'never'
+saveable) keeps MXU outputs and recomputes only elementwise work, 'attn'
+additionally saves the named flash-attention outputs (custom calls are not
+dots, so 'dots' re-runs the kernel in every rematted backward), 'never'
 keeps everything.  Measures the scanned production path per mode on the real
 chip and prints one JSON line; a mode that OOMs is reported as null.
 Measured result (BENCHMARKS.md): never OOMs at hires128, dots ~= full.
@@ -30,7 +32,7 @@ def main():
     cfg = build_preset_cfg(f"hires{image_size}")
     out = {"metric": f"hires{image_size} train-step img/s by remat mode",
            "scan_steps": scan_steps}
-    for mode in ("full", "dots", "never"):
+    for mode in ("full", "dots", "attn", "never"):
         apply_from_runtime(cfg.runtime)
         set_policy(remat=mode)
         try:

@@ -106,7 +106,7 @@ def test_remat_forward_matches(rng):
     set_policy(remat=False)
     want, _ = gan.generator_apply(gvars, z)
     try:
-        for mode in ("full", "dots"):
+        for mode in ("full", "dots", "attn"):
             set_policy(remat=mode)
             got, _ = gan.generator_apply(gvars, z)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -116,7 +116,7 @@ def test_remat_forward_matches(rng):
 
 
 def test_remat_gradients_match(rng):
-    """'full' and 'dots' remat change only what's saved for the backward —
+    """'full'/'dots'/'attn' remat change only what's saved for the backward —
     gradients must be identical to the unremated path."""
     from vitgan_tpu import config as C
     from vitgan_tpu.models import build_gan
@@ -134,7 +134,7 @@ def test_remat_gradients_match(rng):
     set_policy(remat=False)
     want = jax.grad(loss)(gvars["params"])
     try:
-        for mode in ("full", "dots"):
+        for mode in ("full", "dots", "attn"):
             set_policy(remat=mode)
             got = jax.grad(loss)(gvars["params"])
             for a, b in zip(jax.tree_util.tree_leaves(got),

@@ -323,5 +323,11 @@ def mhsa(params: Params, state: Params, x: jnp.ndarray, *, score_mode: str = "do
     from vitgan_tpu.ops.attention import dispatch_attention
 
     out = dispatch_attention(q, k, v, score_mode, float(scale))
+    # Named for remat='attn' (save_only_these_names): rematted blocks can save
+    # the attention output and skip re-running the flash kernel in the
+    # backward, which an MXU-dots policy would NOT save (it's a custom call).
+    from jax.ad_checkpoint import checkpoint_name
+
+    out = checkpoint_name(out, "attn_out")
     out = out.transpose(0, 2, 1, 3).reshape(*x.shape[:-1], num_heads * head_dim)
     return dense(out_p, out), new_state

@@ -70,6 +70,15 @@ def _maybe_remat(fn):
     if mode == "dots":
         return jax.checkpoint(
             fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    if mode == "attn":
+        # 'dots' recomputes the flash-attention CUSTOM CALL in every rematted
+        # backward (only dot outputs are saveable under that policy) — the
+        # hires128 op profile shows that recompute is the single largest
+        # block of step time.  This policy additionally saves the named
+        # attention outputs (layers.mhsa: "attn_out"), ~B*N*E bf16 per block.
+        return jax.checkpoint(fn, policy=jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            jax.checkpoint_policies.save_only_these_names("attn_out")))
     return fn
 
 

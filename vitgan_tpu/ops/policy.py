@@ -29,7 +29,7 @@ def set_policy(mode: str | None = None, min_seq_len: int | None = None,
     if remat is not None:
         if isinstance(remat, bool):  # config back-compat: True == full
             remat = "full" if remat else "never"
-        assert remat in ("never", "full", "dots"), remat
+        assert remat in ("never", "full", "dots", "attn"), remat
         _POLICY["remat"] = remat
     if head_pad is not None:
         assert head_pad in ("auto", "always", "never"), head_pad
@@ -75,13 +75,16 @@ def remat_enabled() -> bool:
 
 
 def remat_mode() -> str:
-    """'never' | 'full' | 'dots'.
+    """'never' | 'full' | 'dots' | 'attn'.
 
     - full: jax.checkpoint the whole transformer block — O(1) block
       activations live at once, backward recomputes everything.
     - dots: jax.checkpoint with dots_with_no_batch_dims_saveable — matmul
       (MXU) outputs are saved, only elementwise/VPU work is recomputed;
       a middle point between memory and recompute FLOPs.
+    - attn: 'dots' plus the NAMED flash-attention outputs (custom calls are
+      not dots, so 'dots' re-runs the Pallas kernel in every rematted
+      backward — measured as the largest block of hires128 step time).
     """
     return _POLICY["remat"]
 
