@@ -75,10 +75,14 @@ def _maybe_remat(fn):
         # backward (only dot outputs are saveable under that policy) — the
         # hires128 op profile shows that recompute is the single largest
         # block of step time.  This policy additionally saves the named
-        # attention outputs (layers.mhsa: "attn_out"), ~B*N*E bf16 per block.
+        # attention output ("attn_out", layers.mhsa) AND the flash kernel's
+        # residuals ("flash_out"/"flash_lse", ops.attention._fwd) — saving
+        # only the post-vjp output measured neutral vs dots because the
+        # custom_vjp backward still re-ran the kernel to rebuild lse.
         return jax.checkpoint(fn, policy=jax.checkpoint_policies.save_from_both_policies(
             jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-            jax.checkpoint_policies.save_only_these_names("attn_out")))
+            jax.checkpoint_policies.save_only_these_names(
+                "attn_out", "flash_out", "flash_lse")))
     return fn
 
 

@@ -813,6 +813,14 @@ def _fwd(q, k, v, score_mode, scale, block_q, block_k, interpret):
     scale_f = float(scale if scale is not None else q.shape[-1])
     out, lse = _flash_forward(q, k, v, score_mode, scale_f, block_q, block_k,
                               interpret, with_lse=True)
+    # Named so remat='attn' can SAVE the kernel's residuals: without these a
+    # checkpointed block must re-run the flash kernel in its backward just to
+    # rebuild (out, lse) — q/k/v are qkv-matmul outputs, already saveable
+    # under the dots policy.
+    from jax.ad_checkpoint import checkpoint_name
+
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, out, lse)
 
 
