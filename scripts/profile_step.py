@@ -32,33 +32,34 @@ def capture(preset: str, scan_steps: int) -> str:
     (make_train_step) so every fusion inside the step is individually
     attributed — use this to see WHERE the step time goes."""
     from vitgan_tpu.ops.policy import apply_from_runtime
-    from vitgan_tpu.utils.benchutil import build_preset_cfg
+    from vitgan_tpu.utils.benchutil import build_preset_cfg, build_scanned_harness
     from vitgan_tpu.models import build_gan
     from vitgan_tpu.train import create_train_state
-    from vitgan_tpu.train.step import make_device_data_train_fn, make_train_step
+    from vitgan_tpu.train.step import make_train_step
     from vitgan_tpu.utils.timing import _readback
 
     cfg = build_preset_cfg(preset)
     apply_from_runtime(cfg.runtime)
-    gan = build_gan(cfg)
-    state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
 
-    b = cfg.model.batch_size
-    s = cfg.model.image_size
-    host = np.random.default_rng(0)
     label = preset
     if scan_steps == 1:
+        gan = build_gan(cfg)
+        state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
+        b, s = cfg.model.batch_size, cfg.model.image_size
+        host = np.random.default_rng(0)
         step = make_train_step(gan, cfg, donate=False)
         real = jax.device_put(host.uniform(-1, 1, (b, s, s, cfg.model.channels))
                               .astype(np.float32))
         run = lambda st: step(st, real)  # noqa: E731
         label = f"{preset}_raw"
     else:
-        dstep = make_device_data_train_fn(gan, cfg, scan_steps, donate=False)
-        dataset = jax.device_put(host.integers(0, 256, (2048, s, s, cfg.model.channels),
-                                               dtype=np.uint8))
-        idx = jax.device_put(host.integers(0, 2048, (2, scan_steps, b)).astype(np.int32))
-        run = lambda st: dstep(st, dataset, idx[0])  # noqa: E731
+        # The SAME construction measure_scanned_train times, so the trace is
+        # of the exact XLA program behind the throughput tables.  Two idx
+        # calls: [0] warms up, [1] is traced (distinct gather indices).
+        dstep, state, dataset, idx = build_scanned_harness(
+            cfg, scan_steps, dataset_images=2048, n_calls=2)
+        calls = iter(range(idx.shape[0]))
+        run = lambda st: dstep(st, dataset, idx[next(calls)])  # noqa: E731
 
     # Warmup: compile + force full readback (axon sync gotcha).
     state, _ = run(state)

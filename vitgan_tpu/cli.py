@@ -196,7 +196,9 @@ def cmd_eval(args) -> int:
         result["inception_score_mean"], result["inception_score_std"] = inception_is
     result.update({
         "run_dir": run_dir, "ckpt_step": meta.get("step"),
-        "extractor": getattr(extractor, "feature_dim", None) and args.extractor,
+        "extractor": args.extractor,
+        "feature_dim": getattr(extractor, "feature_dim", None)
+        or int(real_feats.shape[1]),
         "dataset": cfg.data.dataset,
     })
     out_path = os.path.join(run_dir, "metrics.json")
@@ -256,17 +258,23 @@ def cmd_bench(args) -> int:
 
 def cmd_warmup(args) -> int:
     """AOT-compile preset train steps into the persistent XLA cache, so the
-    first real `train`/`bench` of each preset skips its minutes-long compile."""
+    first real `train` of each preset skips its minutes-long compile.  The
+    compiled module is the TRAINER's own device call (same donation,
+    steps-per-call and dataset shapes — anything else would be a different
+    cache key); --scan additionally pre-compiles the `bench` harness."""
+    from vitgan_tpu import config as C
     from vitgan_tpu.ops.policy import apply_from_runtime
     from vitgan_tpu.utils.benchutil import build_preset_cfg, warmup_compile
 
     out = {}
     for preset in args.presets:
         cfg = build_preset_cfg(preset)
+        if args.dataset:
+            cfg = C.replace(cfg, **{"data.dataset": args.dataset})
+        cfg = C.replace(cfg, run_name=f"warmup_{preset}")
         apply_from_runtime(cfg.runtime)
         out[preset] = round(warmup_compile(cfg, args.scan), 1)
-        print(f"[warmup] {preset}: compiled scan-{args.scan} step in "
-              f"{out[preset]}s", file=sys.stderr)
+        print(f"[warmup] {preset}: compiled in {out[preset]}s", file=sys.stderr)
     print(json.dumps({"compile_seconds": out, "scan": args.scan}))
     return 0
 
@@ -350,7 +358,11 @@ def build_parser() -> argparse.ArgumentParser:
                                       "persistent XLA cache")
     w.add_argument("presets", nargs="+",
                    help="v1|v2|dcgan|cnn|mlp|deit64|hires128|hires256")
-    w.add_argument("--scan", type=int, default=16, help="steps per device call")
+    w.add_argument("--dataset", choices=["cifar10", "mnist", "synthetic"],
+                   default=None, help="match the dataset you will train on "
+                                      "(shapes are part of the cache key)")
+    w.add_argument("--scan", type=int, default=0,
+                   help="also pre-compile the `bench` harness at this scan length")
     w.set_defaults(fn=cmd_warmup)
 
     s = sub.add_parser("sweep", help="hyperparameter sweep (Ray-free)")

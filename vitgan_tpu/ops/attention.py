@@ -651,15 +651,24 @@ def _flash_backward(q, k, v, out, lse, g, score_mode: str, scale: float,
         # kernel's 512-block clamp) -> auto fuses dot only, within budget.
         fuse = ("fused" if score_mode == "dot"
                 and kv_bytes <= _FUSED_BWD_KV_BUDGET_BYTES else "two_pass")
-    if fuse == "fused" and not stream:
+    if fuse == "fused":
         fb_q = min(block_q, _FUSED_BWD_MAX_BLOCK)
         fb_k = min(block_k, _FUSED_BWD_MAX_BLOCK)
-        if n_pad % fb_q == 0 and n_pad % fb_k == 0:
+        if not stream and n_pad % fb_q == 0 and n_pad % fb_k == 0:
             dq, dk, dv = _flash_backward_fused(
                 qp, kp, vp, gp, lse_p, delta, b * h, n_pad, d_pad, score_mode,
                 inv_scale, fb_q, fb_k, n, interpret, q.dtype)
             unpad = lambda x: x.reshape(b, h, n_pad, d_pad)[:, :, :n, :d]  # noqa: E731
             return unpad(dq), unpad(dk), unpad(dv)
+        if bwd_fusion_mode() == "fused":
+            # EXPLICITLY requested but inapplicable: say so, or an A/B at a
+            # streaming-regime shape silently measures two_pass vs two_pass.
+            import warnings
+
+            warnings.warn(
+                f"bwd_fusion='fused' requested but inapplicable at this shape "
+                f"(n_pad={n_pad}, K/V bytes={kv_bytes}, streaming={stream}) — "
+                f"falling back to the two-pass backward", stacklevel=2)
 
     q_blk_spec = pl.BlockSpec((1, block_q, d_pad), lambda bh, qi: (bh, qi, 0),
                               memory_space=pltpu.VMEM)

@@ -55,18 +55,18 @@ def xla_step_gflops(cfg, gan, state) -> Optional[float]:
         return None
 
 
-def measure_scanned_train(cfg, scan_steps: int, iters: int,
-                          dataset_images: int = 512) -> float:
-    """Images/sec of the scanned production train path under the CURRENT
-    process policy (callers apply_from_runtime/set_policy first).  Timed with
-    sync_timeit (host readback of the 4-byte step counter).  Raises on
-    device errors — callers that A/B OOM-prone arms catch and report null."""
+def build_scanned_harness(cfg, scan_steps: int, dataset_images: int = 512,
+                          n_calls: int = 1):
+    """(fn, state, dataset, idx) for the scanned device-data train path —
+    the ONE construction shared by timing (measure_scanned_train) and
+    profiling (scripts/profile_step.py), so the profiled executable is the
+    same XLA program the throughput tables measure.  ``idx`` has shape
+    (n_calls, scan_steps, batch) so callers can run distinct calls."""
     import jax
 
     from vitgan_tpu.models import build_gan
     from vitgan_tpu.train import create_train_state
     from vitgan_tpu.train.step import make_device_data_train_fn
-    from vitgan_tpu.utils.timing import sync_timeit
 
     m = cfg.model
     gan = build_gan(cfg)
@@ -75,37 +75,63 @@ def measure_scanned_train(cfg, scan_steps: int, iters: int,
     b, s, c = m.batch_size, m.image_size, m.channels
     n_data = max(dataset_images, 2 * b)
     dataset = jax.device_put(host.integers(0, 256, (n_data, s, s, c), dtype=np.uint8))
-    idx = jax.device_put(host.integers(0, n_data, (scan_steps, b)).astype(np.int32))
+    idx = jax.device_put(
+        host.integers(0, n_data, (n_calls, scan_steps, b)).astype(np.int32))
     fn = make_device_data_train_fn(gan, cfg, scan_steps, donate=False)
-    t = sync_timeit(fn, state, dataset, idx, iters=iters)
-    return b * scan_steps / t
+    return fn, state, dataset, idx
 
 
-def warmup_compile(cfg, scan_steps: int, dataset_images: int = 512) -> float:
-    """AOT-compile the scanned production train step WITHOUT running it.
+def measure_scanned_train(cfg, scan_steps: int, iters: int,
+                          dataset_images: int = 512) -> float:
+    """Images/sec of the scanned production train path under the CURRENT
+    process policy (callers apply_from_runtime/set_policy first).  Timed with
+    sync_timeit (host readback of the 4-byte step counter).  Raises on
+    device errors — callers that A/B OOM-prone arms catch and report null."""
+    from vitgan_tpu.utils.timing import sync_timeit
 
-    Lowering against abstract ShapeDtypeStructs populates the persistent XLA
-    compilation cache ($SCRATCH/jax_cache), so a later ``train``/``bench`` of
-    the same preset skips its minutes-long first compile.  Returns seconds
-    spent compiling (near zero when already cached).
-    """
+    fn, state, dataset, idx = build_scanned_harness(cfg, scan_steps, dataset_images)
+    t = sync_timeit(fn, state, dataset, idx[0], iters=iters)
+    return cfg.model.batch_size * scan_steps / t
+
+
+def warmup_compile(cfg, scan_steps: int = 0) -> float:
+    """AOT-compile the TRAINER's device call for this exact config, without
+    training.  Builds the same ``Trainer`` a ``cli train`` run would — same
+    donation flag, same steps-per-call, same dataset shapes — and lowers its
+    jitted train fn against abstract arguments, so the persistent-cache
+    entry it writes is the one ``train`` will actually look up (a
+    different-shaped/donation harness would be a different HLO module and a
+    guaranteed cache miss).  ``scan_steps`` additionally pre-compiles the
+    ``cli bench`` harness when nonzero.  Returns seconds spent compiling
+    (near zero when already cached)."""
     import time
 
     import jax
 
-    from vitgan_tpu.models import build_gan
-    from vitgan_tpu.train import create_train_state
-    from vitgan_tpu.train.step import make_device_data_train_fn
+    from vitgan_tpu.train.trainer import Trainer
 
-    m = cfg.model
-    gan = build_gan(cfg)
-    state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
-    b, s, c = m.batch_size, m.image_size, m.channels
-    n_data = max(dataset_images, 2 * b)
-    abstract = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
-    dataset = jax.ShapeDtypeStruct((n_data, s, s, c), np.uint8)
-    idx = jax.ShapeDtypeStruct((scan_steps, b), np.int32)
-    fn = make_device_data_train_fn(gan, cfg, scan_steps, donate=False)
+    trainer = Trainer(cfg)
+    abstract = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                            trainer.state)
+    b, s, c = cfg.model.batch_size, cfg.model.image_size, cfg.model.channels
     t0 = time.perf_counter()
-    fn.lower(abstract, dataset, idx).compile()
+    if trainer._device_dataset is not None:
+        ds = jax.ShapeDtypeStruct(trainer._device_dataset.shape,
+                                  trainer._device_dataset.dtype)
+        idx = jax.ShapeDtypeStruct((trainer._device_steps_per_call, b), np.int32)
+        trainer._device_train_fn.lower(abstract, ds, idx).compile()
+    else:
+        real = jax.ShapeDtypeStruct((b, s, s, c), np.float32)
+        fn = trainer.multi_step if trainer.steps_per_call > 1 else trainer.train_step
+        if trainer.steps_per_call > 1:
+            real = jax.ShapeDtypeStruct((trainer.steps_per_call, b, s, s, c),
+                                        np.float32)
+        fn.lower(abstract, real).compile()
+    if scan_steps:
+        fn, state, dataset, idx = build_scanned_harness(cfg, scan_steps)
+        abstract = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                                state)
+        fn.lower(abstract,
+                 jax.ShapeDtypeStruct(dataset.shape, dataset.dtype),
+                 jax.ShapeDtypeStruct(idx[0].shape, idx[0].dtype)).compile()
     return time.perf_counter() - t0
