@@ -206,10 +206,10 @@ def test_interactive_preempts_long_batch_between_device_calls():
     real_generate = service._generate
     batch_in_flight = threading.Event()
 
-    def instrumented_generate(rng):
+    def instrumented_generate(seed, call):
         name = threading.current_thread().name
         calls.append(name)
-        out = real_generate(rng)
+        out = real_generate(seed, call)
         if name == "batch":
             batch_in_flight.set()
             if calls.count("batch") == 1:

@@ -14,7 +14,8 @@ Endpoints (stdlib http.server — zero new dependencies):
 - ``POST /sample``             -> body {"n": int, "seed": int?, "model": str?,
   "format": "png"|"npy", "priority": "interactive"|"batch"|int}
   returns an image grid (image/png) or raw [-1,1] float32 samples
-  (application/octet-stream, .npy bytes).  ``n`` is served by slicing one or
+  (application/octet-stream, .npy bytes; 8-bit quantized — the device ships
+  uint8 over the tunnel and the host dequantizes).  ``n`` is served by slicing one or
   more fixed-batch generator calls, so arbitrary n never recompiles; seeded
   requests are reproducible, unseeded requests coalesce into shared batches
   (see SamplerService).
@@ -113,13 +114,18 @@ class SamplerService:
     cost one generator call, not 16)."""
 
     def __init__(self, cfg, gan, g_vars, batch: int = 64):
-        from vitgan_tpu.train import make_sample_fn
+        from vitgan_tpu.train import make_serve_sample_fn
 
         self.cfg = cfg
         self.gan = gan
         self.g_vars = g_vars
         self.batch = batch
-        self._sample = make_sample_fn(gan, cfg)
+        # ONE device dispatch per batch: PRNG, latents, generator forward and
+        # the [-1,1]->uint8 quantization all run inside a single jitted call
+        # (make_serve_sample_fn) — on the tunneled platform every extra
+        # host<->device round trip costs ~5 ms, and uint8 output moves 4x
+        # fewer bytes than float32 over the ~22 MB/s link.
+        self._sample = make_serve_sample_fn(gan, cfg, batch)
         # One device user at a time, admitted in (priority, arrival) order.
         self._gate = PriorityGate()
         self._stats_lock = threading.Lock()
@@ -130,10 +136,11 @@ class SamplerService:
         self._by_class = {name: {"requests": 0, "wait_seconds": 0.0}
                           for name in PRIORITY_CLASSES}
         self._pool = np.zeros((0,), np.float32)  # leftover unseeded samples
-        self._pool_key = jax.random.PRNGKey(0x5E11)
-        # Warm the compile so the first request is fast.
-        z = gan.sample_latent(jax.random.PRNGKey(0), batch)
-        jax.block_until_ready(self._sample(g_vars, z))
+        self._pool_seed = 0x5E11  # unseeded refills: fold_in(_pool_seed, counter)
+        self._pool_calls = 0
+        # Warm the compile AND force a full host readback so the first
+        # request is fast (np.asarray also covers the axon sync gotcha).
+        np.asarray(self._sample(g_vars, 0, 0))
 
     def info(self) -> dict:
         m = self.cfg.model
@@ -179,16 +186,15 @@ class SamplerService:
             self._by_class[cls]["requests"] += 1
             self._by_class[cls]["wait_seconds"] += waited
 
-    def _generate(self, rng) -> np.ndarray:
-        """One fixed-shape generator call (the only device entry point)."""
-        import time
-
+    def _generate(self, seed: int, call: int) -> np.ndarray:
+        """One fixed-shape generator call (the only device entry point):
+        a single dispatch, uint8 over the wire, dequantized to [-1,1] float32
+        on the host (the dequantization is host CPU math, not tunnel time)."""
         t0 = time.perf_counter()
-        z = self.gan.sample_latent(rng, self.batch)
-        imgs = np.asarray(self._sample(self.g_vars, z))
+        u8 = np.asarray(self._sample(self.g_vars, seed, call))
         self._sample_seconds += time.perf_counter() - t0
         self._device_calls += 1
-        return imgs
+        return u8.astype(np.float32) / 127.5 - 1.0
 
     def sample(self, n: int, seed: Optional[int] = None,
                priority: Union[str, int, None] = None) -> np.ndarray:
@@ -201,15 +207,16 @@ class SamplerService:
         fold_in(PRNGKey(s), call))."""
         if n < 1:
             raise ValueError("n must be >= 1")
+        if seed is not None:
+            seed = int(seed) & 0x7FFFFFFF  # PRNGKey-safe int32 range
         prio = parse_priority(priority)
         waited = 0.0
         if seed is not None:
             out, done, call = [], 0, 0
             while done < n:
-                rng = jax.random.fold_in(jax.random.PRNGKey(seed), call)
                 waited += self._gate.acquire(prio)
                 try:
-                    imgs = self._generate(rng)
+                    imgs = self._generate(seed, call)
                 finally:
                     self._gate.release()
                 take = min(self.batch, n - done)
@@ -227,8 +234,8 @@ class SamplerService:
             waited += self._gate.acquire(prio)
             try:
                 if self._pool.shape[0] == 0:
-                    self._pool_key, sub = jax.random.split(self._pool_key)
-                    self._pool = self._generate(sub)
+                    self._pool = self._generate(self._pool_seed, self._pool_calls)
+                    self._pool_calls += 1
                 take = min(need, self._pool.shape[0])
                 out.append(self._pool[:take])
                 self._pool = self._pool[take:]

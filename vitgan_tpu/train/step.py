@@ -264,6 +264,32 @@ def make_sample_fn(gan: GANBundle, cfg: ExperimentConfig):
     return sample
 
 
+def make_serve_sample_fn(gan: GANBundle, cfg: ExperimentConfig, batch: int):
+    """Jitted ONE-dispatch serving sampler: (g_vars, seed, call) -> uint8 images.
+
+    The serving path pays per-call tunnel overhead on every host<->device
+    round trip, so unlike :func:`make_sample_fn` this folds the whole request
+    into a single device call: PRNG key construction, latent sampling, the
+    generator forward, and the [-1,1]->uint8 quantization all run on device.
+    Returning uint8 moves 4x fewer bytes over the wire — the serving output
+    formats (PNG, 8-bit grids) are quantized anyway.
+
+    Reproducibility contract (same as serve.py's seeded requests): batch
+    ``call`` of seed ``s`` is always fold_in(PRNGKey(s), call).
+    """
+    dtype = _compute_dtype(cfg)
+
+    @jax.jit
+    def sample_u8(g_vars, seed, call):
+        rng = jax.random.fold_in(jax.random.PRNGKey(seed), call)
+        z = gan.sample_latent(rng, batch).astype(dtype)
+        imgs, _ = gan.generator_apply(g_vars, z)
+        imgs = jnp.clip(imgs.astype(jnp.float32), -1.0, 1.0)
+        return jnp.round((imgs + 1.0) * 127.5).astype(jnp.uint8)
+
+    return sample_u8
+
+
 def make_eval_step(gan: GANBundle, cfg: ExperimentConfig):
     """Jitted no-update validation step (the working form of the reference's
     broken _validate, ref:src/v1/gan.py:330-372 / SURVEY §2.4.6): D losses and
