@@ -33,6 +33,28 @@ def test_device_data_matches_host_path(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
 
 
+def test_scan_unroll_is_semantics_preserving(rng):
+    """runtime.scan_unroll may change scheduling, never numerics: the unrolled
+    scan must produce the same trajectory as the rolled one."""
+    cfg1 = C.smoke_config("mlp")
+    cfg2 = C.replace(cfg1, **{"runtime.scan_unroll": 2})
+    dataset = np.random.default_rng(0).integers(0, 256, (40, 32, 32, 3), dtype=np.uint8)
+    idx = np.arange(32, dtype=np.int32).reshape(4, 8)
+
+    outs = []
+    for cfg in (cfg1, cfg2):
+        gan = build_gan(cfg)
+        state = create_train_state(rng, gan, cfg)
+        fn = make_device_data_train_fn(gan, cfg, 4, donate=False)
+        state, ms = fn(state, jax.device_put(dataset), jnp.asarray(idx))
+        outs.append((state, ms))
+    (sa, ma), (sb, mb) = outs
+    np.testing.assert_allclose(np.asarray(ma["d_loss"]), np.asarray(mb["d_loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(sa.g_params), jax.tree.leaves(sb.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
 def test_trainer_on_device_path(tmp_path):
     """Single-device mesh triggers the on-device dataset path, incl. remainder."""
     from vitgan_tpu.parallel import make_mesh

@@ -259,6 +259,12 @@ class RuntimeConfig:
     # vs 'two_pass' dq then dk/dv (7, with DMA-streaming variants); 'auto'
     # fuses within the VMEM budget (ops/attention.py).
     bwd_fusion: str = "auto"  # auto | fused | two_pass
+    # lax.scan unroll factor for the scanned multi-step train paths: copies of
+    # the step body XLA may fuse across.  Measured A/B on v5e at v2 scale
+    # (scripts/bench_unroll.py): 2 → +1.6% (≈noise, 2× compile), 4 → −4.6% —
+    # adjacent steps serialize through the full train state, so cross-step
+    # fusion barely exists.  Default 1; knob kept for larger presets.
+    scan_unroll: int = 1
 
 
 @dataclass(frozen=True)

@@ -210,13 +210,14 @@ def make_multi_train_step(gan: GANBundle, cfg: ExperimentConfig, n_steps: int,
     Returns per-step metrics stacked along axis 0.
     """
     raw_step = make_raw_train_step(gan, cfg)
+    unroll = max(1, int(getattr(cfg.runtime, "scan_unroll", 1)))
 
     def multi(state: TrainState, reals: jnp.ndarray):
         def body(s, real):
             s2, m = raw_step(s, real)
             return s2, m
 
-        return jax.lax.scan(body, state, reals)
+        return jax.lax.scan(body, state, reals, unroll=unroll)
 
     return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
@@ -235,6 +236,7 @@ def make_device_data_train_fn(gan: GANBundle, cfg: ExperimentConfig, n_steps: in
     """
     raw_step = make_raw_train_step(gan, cfg)
     flip = cfg.data.augment_flip
+    unroll = max(1, int(getattr(cfg.runtime, "scan_unroll", 1)))
 
     def multi(state: TrainState, dataset_u8: jnp.ndarray, indices: jnp.ndarray):
         def body(s, idx):
@@ -247,7 +249,7 @@ def make_device_data_train_fn(gan: GANBundle, cfg: ExperimentConfig, n_steps: in
             s2, m = raw_step(s, real)
             return s2, m
 
-        return jax.lax.scan(body, state, indices)
+        return jax.lax.scan(body, state, indices, unroll=unroll)
 
     return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
