@@ -68,6 +68,30 @@ def test_same_seed_same_samples(server):
     np.testing.assert_array_equal(np.load(io.BytesIO(a)), np.load(io.BytesIO(b)))
 
 
+def test_serve_sampler_quantization_parity():
+    """The single-dispatch uint8 serving sampler must match the float sampler
+    to within one 8-bit quantization step (its only intended difference)."""
+    import jax
+
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.train import create_train_state, make_sample_fn, make_serve_sample_fn
+
+    cfg = C.smoke_config("mlp")
+    gan = build_gan(cfg)
+    state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
+    batch, seed, call = 8, 7, 3
+
+    u8 = np.asarray(make_serve_sample_fn(gan, cfg, batch)(state.g_vars_ema, seed, call))
+    assert u8.dtype == np.uint8
+    served = u8.astype(np.float32) / 127.5 - 1.0
+
+    rng = jax.random.fold_in(jax.random.PRNGKey(seed), call)
+    z = gan.sample_latent(rng, batch)
+    ref = np.clip(np.asarray(make_sample_fn(gan, cfg)(state.g_vars_ema, z)), -1.0, 1.0)
+
+    assert np.abs(served - ref).max() <= (1.0 / 255.0) + 1e-6
+
+
 def test_unseeded_requests_coalesce_device_calls():
     """Small unseeded requests must share generator calls via the pool:
     8 requests of n=2 against batch=8 need 2 device calls, not 8."""
