@@ -103,6 +103,12 @@ class PriorityGate:
         return PriorityGate._Section(self, priority)
 
 
+def _dequant(u8: np.ndarray) -> np.ndarray:
+    """uint8 wire format -> [-1,1] float32 (inverse of the on-device
+    quantization in make_serve_sample_fn)."""
+    return u8.astype(np.float32) / 127.5 - 1.0
+
+
 class SamplerService:
     """Thread-safe batched sampler around a restored train state.
 
@@ -135,7 +141,7 @@ class SamplerService:
         self._sample_seconds = 0.0
         self._by_class = {name: {"requests": 0, "wait_seconds": 0.0}
                           for name in PRIORITY_CLASSES}
-        self._pool = np.zeros((0,), np.float32)  # leftover unseeded samples
+        self._pool = np.zeros((0,), np.uint8)  # leftover unseeded samples (u8)
         self._pool_seed = 0x5E11  # unseeded refills: fold_in(_pool_seed, counter)
         self._pool_calls = 0
         # Warm the compile AND force a full host readback so the first
@@ -188,13 +194,15 @@ class SamplerService:
 
     def _generate(self, seed: int, call: int) -> np.ndarray:
         """One fixed-shape generator call (the only device entry point):
-        a single dispatch, uint8 over the wire, dequantized to [-1,1] float32
-        on the host (the dequantization is host CPU math, not tunnel time)."""
+        a single dispatch, uint8 over the wire.  Returns the RAW uint8 batch —
+        dequantization is host CPU math and happens outside the device gate
+        (see :func:`_dequant`), so under concurrency it overlaps the next
+        request's device call instead of serializing behind the gate."""
         t0 = time.perf_counter()
         u8 = np.asarray(self._sample(self.g_vars, seed, call))
         self._sample_seconds += time.perf_counter() - t0
         self._device_calls += 1
-        return u8.astype(np.float32) / 127.5 - 1.0
+        return u8
 
     def sample(self, n: int, seed: Optional[int] = None,
                priority: Union[str, int, None] = None) -> np.ndarray:
@@ -216,18 +224,18 @@ class SamplerService:
             while done < n:
                 waited += self._gate.acquire(prio)
                 try:
-                    imgs = self._generate(seed, call)
+                    u8 = self._generate(seed, call)
                 finally:
                     self._gate.release()
                 take = min(self.batch, n - done)
-                out.append(imgs[:take])
+                out.append(u8[:take])
                 done += take
                 call += 1
             self._note_request(prio, waited, n)
-            return np.concatenate(out, 0)
+            return _dequant(np.concatenate(out, 0))
         # Unseeded: slice from the shared pool, refilling batch-at-a-time.
         # The pool is gate-protected state, so each refill+slice runs inside
-        # one held section.
+        # one held section (uint8 slices out; dequantization after release).
         out = []
         need = n
         while need > 0:
@@ -243,7 +251,7 @@ class SamplerService:
             finally:
                 self._gate.release()
         self._note_request(prio, waited, n)
-        return np.concatenate(out, 0)
+        return _dequant(np.concatenate(out, 0))
 
 
 def load_service(run_dir: str, batch: int = 64, best: bool = False) -> SamplerService:
