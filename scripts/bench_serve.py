@@ -108,7 +108,7 @@ def main():
         result["interactive_n4_npy"] = _pcts(lats4)
 
         # 3) Coalescing: 16 concurrent unseeded n=4 -> device calls consumed.
-        svc._pool = np.zeros((0,), np.float32)  # drop leftovers for a clean count
+        svc._pool = np.zeros((0,), np.uint8)  # drop leftovers for a clean count
         calls0 = svc._device_calls
         with cf.ThreadPoolExecutor(16) as ex:
             lat_c = list(ex.map(
@@ -121,14 +121,19 @@ def main():
             "latency": _pcts(lat_c)}
 
         # 4) Priority under load: one long batch-priority request (16 batches)
-        #    with interactive seeded requests arriving during it.
-        inter_lat, stop = [], threading.Event()
+        #    with interactive seeded requests arriving during it.  Each
+        #    interactive sample records its (start, end) wall times; only
+        #    samples fully inside the batch request's [post, done] window
+        #    count — edge samples that ran partly unloaded would bias the
+        #    loaded percentiles optimistically.
+        recs, stop = [], threading.Event()
 
         def _interactive_loop():
             i = 0
             while not stop.is_set():
-                inter_lat.append(_post(port, {"n": 4, "seed": 1000 + i,
-                                              "format": "npy"})[0])
+                t_s = time.perf_counter()
+                lat = _post(port, {"n": 4, "seed": 1000 + i, "format": "npy"})[0]
+                recs.append((t_s, t_s + lat, lat))
                 i += 1
 
         t = threading.Thread(target=_interactive_loop, daemon=True)
@@ -136,12 +141,13 @@ def main():
         t0 = time.perf_counter()
         _post(port, {"n": 16 * batch, "seed": 7, "priority": "batch",
                      "format": "npy"})
-        batch_seconds = time.perf_counter() - t0
+        t1 = time.perf_counter()
         stop.set()
         t.join(timeout=600)
+        inter_lat = [lat for t_s, t_e, lat in recs if t_s >= t0 and t_e <= t1]
         result["priority_under_load"] = {
             "batch_request_images": 16 * batch,
-            "batch_request_seconds": round(batch_seconds, 2),
+            "batch_request_seconds": round(t1 - t0, 2),
             "interactive_requests_completed_during": len(inter_lat),
             "interactive_latency_during": _pcts(inter_lat) if inter_lat else None}
 

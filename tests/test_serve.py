@@ -166,9 +166,35 @@ def test_bad_requests(server):
     assert status == 400 and b"error" in body
     status, _, _ = _post(server, {"n": 5, "format": "bmp"})
     assert status == 400
+    # Out-of-range seeds are rejected, not silently aliased onto another
+    # stream (negative seed space is reserved for the unseeded pool).
+    for bad_seed in (-1, 2 ** 31):
+        status, _, body = _post(server, {"n": 4, "seed": bad_seed,
+                                         "format": "npy"})
+        assert status == 400 and b"seed" in body
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(server + "/nope")
     assert exc.value.code == 404
+
+
+def test_pool_stream_distinct_from_seeded_streams():
+    """The unseeded pool draws from a negative seed no client can reach: a
+    seeded request with the pool seed's magnitude must NOT reproduce pool
+    samples (round-1 of this code used a positive pool seed — collidable)."""
+    import jax
+
+    from vitgan_tpu.serve import SamplerService
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.train import create_train_state
+
+    cfg = C.smoke_config("mlp")
+    gan = build_gan(cfg)
+    state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
+    svc = SamplerService(cfg, gan, state.g_vars_ema, batch=8)
+    assert svc._pool_seed < 0
+    pool_imgs = svc.sample(8)  # first refill: pool call 0
+    seeded = svc.sample(8, seed=-svc._pool_seed)  # same magnitude, positive
+    assert not np.array_equal(pool_imgs, seeded)
 
 
 def test_parse_priority():

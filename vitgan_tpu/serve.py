@@ -142,7 +142,10 @@ class SamplerService:
         self._by_class = {name: {"requests": 0, "wait_seconds": 0.0}
                           for name in PRIORITY_CLASSES}
         self._pool = np.zeros((0,), np.uint8)  # leftover unseeded samples (u8)
-        self._pool_seed = 0x5E11  # unseeded refills: fold_in(_pool_seed, counter)
+        # Unseeded refills draw from fold_in(PRNGKey(-0x5E11), counter).  The
+        # seed is NEGATIVE: client seeds are validated to [0, 2^31), so the
+        # pool stream can never collide with any seeded request's stream.
+        self._pool_seed = -0x5E11
         self._pool_calls = 0
         # Warm the compile AND force a full host readback so the first
         # request is fast (np.asarray also covers the axon sync gotcha).
@@ -206,7 +209,15 @@ class SamplerService:
 
     def sample(self, n: int, seed: Optional[int] = None,
                priority: Union[str, int, None] = None) -> np.ndarray:
-        """n images in [-1,1]; seeded => reproducible, unseeded => coalesced.
+        """n images in [-1,1] float32 (8-bit-quantized values — the wire
+        format is uint8); seeded => reproducible, unseeded => coalesced."""
+        return _dequant(self.sample_quantized(n, seed, priority))
+
+    def sample_quantized(self, n: int, seed: Optional[int] = None,
+                         priority: Union[str, int, None] = None) -> np.ndarray:
+        """n images as RAW uint8 (the on-device quantization of [-1,1]) —
+        the PNG path consumes these directly, skipping a dequantize/requantize
+        round trip (u8 -> grid is bit-identical to u8 -> float -> grid).
 
         The priority gate is re-entered between device calls, so a multi-batch
         request yields to any higher-priority request at fixed-batch
@@ -216,7 +227,10 @@ class SamplerService:
         if n < 1:
             raise ValueError("n must be >= 1")
         if seed is not None:
-            seed = int(seed) & 0x7FFFFFFF  # PRNGKey-safe int32 range
+            seed = int(seed)
+            if not 0 <= seed < 2 ** 31:
+                raise ValueError("seed must be in [0, 2**31) — out-of-range "
+                                 "seeds would silently alias another stream")
         prio = parse_priority(priority)
         waited = 0.0
         if seed is not None:
@@ -232,7 +246,7 @@ class SamplerService:
                 done += take
                 call += 1
             self._note_request(prio, waited, n)
-            return _dequant(np.concatenate(out, 0))
+            return np.concatenate(out, 0)
         # Unseeded: slice from the shared pool, refilling batch-at-a-time.
         # The pool is gate-protected state, so each refill+slice runs inside
         # one held section (uint8 slices out; dequantization after release).
@@ -251,7 +265,7 @@ class SamplerService:
             finally:
                 self._gate.release()
         self._note_request(prio, waited, n)
-        return _dequant(np.concatenate(out, 0))
+        return np.concatenate(out, 0)
 
 
 def load_service(run_dir: str, batch: int = 64, best: bool = False) -> SamplerService:
@@ -325,17 +339,22 @@ def _make_handler(services):
                 if name not in services:
                     raise ValueError(f"unknown model {name!r} "
                                      f"(have: {sorted(services)})")
-                imgs = services[name].sample(n, req.get("seed"),
-                                             req.get("priority"))
                 fmt = req.get("format", "png")
                 if fmt == "npy":
+                    imgs = services[name].sample(n, req.get("seed"),
+                                                 req.get("priority"))
                     buf = io.BytesIO()
                     np.save(buf, imgs)
                     self._reply(200, buf.getvalue(), "application/octet-stream")
                 elif fmt == "png":
                     from vitgan_tpu.utils.images import make_grid, to_png_bytes
 
-                    self._reply(200, to_png_bytes(make_grid(imgs)), "image/png")
+                    # uint8 straight into the grid: bit-identical to the
+                    # dequantize->denormalize path, without two full-array
+                    # conversions on the latency path.
+                    u8 = services[name].sample_quantized(n, req.get("seed"),
+                                                         req.get("priority"))
+                    self._reply(200, to_png_bytes(make_grid(u8)), "image/png")
                 else:
                     raise ValueError(f"unknown format {fmt!r}")
             except Exception as e:  # noqa: BLE001 — report, don't kill the server

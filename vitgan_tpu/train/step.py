@@ -273,8 +273,10 @@ def make_serve_sample_fn(gan: GANBundle, cfg: ExperimentConfig, batch: int):
     round trip, so unlike :func:`make_sample_fn` this folds the whole request
     into a single device call: PRNG key construction, latent sampling, the
     generator forward, and the [-1,1]->uint8 quantization all run on device.
-    Returning uint8 moves 4x fewer bytes over the wire — the serving output
-    formats (PNG, 8-bit grids) are quantized anyway.
+    Returning uint8 moves 4x fewer bytes over the wire.  PNG output is 8-bit
+    anyway (the grid consumes the uint8 directly, bit-identically); npy output
+    is float32 whose values are 8-bit grid points — a DOCUMENTED serving
+    contract (serve.py endpoint docs), traded for 4x less tunnel traffic.
 
     Reproducibility contract (same as serve.py's seeded requests): batch
     ``call`` of seed ``s`` is always fold_in(PRNGKey(s), call).
