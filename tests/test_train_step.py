@@ -141,6 +141,34 @@ def test_r1_step_changes_d_update_and_stays_finite(rng):
     assert not np.allclose(np.asarray(base), np.asarray(reg))
 
 
+def test_lazy_r1_applies_only_on_interval_steps(rng):
+    """r1_interval=k: step 0 (0 % k == 0) is penalized, step 1 computes the
+    plain BCE update (same math as r1_gamma=0; compared with a tight
+    tolerance, not bitwise — the cond branch and the straight-line program
+    are different XLA executables and fusion choices may differ in low-order
+    bits)."""
+    cfg_plain = C.replace(C.smoke_config("v2"), **{"v2.r1_gamma": 0.0})
+    cfg_lazy = C.replace(C.smoke_config("v2"),
+                         **{"v2.r1_gamma": 10.0, "v2.r1_interval": 2})
+    real = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3)) * 2 - 1
+
+    def d_leaf_after_one_step(cfg, step0):
+        gan = build_gan(cfg)
+        state = create_train_state(rng, gan, cfg)
+        state = state.replace(step=jnp.asarray(step0, jnp.int32))
+        new_state, m = make_train_step(gan, cfg, donate=False)(state, real)
+        assert np.isfinite(float(m["d_loss"]))
+        return np.asarray(jax.tree_util.tree_leaves(new_state.d_params)[0])
+
+    # On-step (step counter 0): penalty active => differs from plain.
+    assert not np.allclose(d_leaf_after_one_step(cfg_lazy, 0),
+                           d_leaf_after_one_step(cfg_plain, 0))
+    # Off-step (step counter 1): the plain BCE update (tight tolerance).
+    np.testing.assert_allclose(d_leaf_after_one_step(cfg_lazy, 1),
+                               d_leaf_after_one_step(cfg_plain, 1),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_step_data_parallel_matches_single_device(rng, mesh8):
     """Same step, batch sharded over 8 devices vs unsharded: identical result."""
     cfg = C.smoke_config("mlp")

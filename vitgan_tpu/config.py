@@ -152,9 +152,20 @@ class V2Config:
     loss: str = "bce"  # bce | wgan-gp
     gp_lambda: float = 10.0
     # R1 regularization gamma (Mescheder 2018): gamma/2 * E[|grad_x D(x)|^2]
-    # on reals, added to the bce/mse D loss when > 0.  Beyond-reference: the
-    # modern, cheaper alternative to WGAN-GP (one extra backward on reals).
+    # on reals, added to the bce/mse D loss when > 0.  Beyond-reference
+    # stabilizer.  Measured (scripts/bench_losses.py): applied EVERY step the
+    # double-backward costs the same ~1.83x as WGAN-GP — the honest cheap
+    # form is LAZY R1 below.
     r1_gamma: float = 0.0
+    # Lazy R1 (StyleGAN2 §lazy regularization): apply the penalty only every
+    # k-th D step, scaled by k to keep the same time-averaged LOSS gradient.
+    # 0/1 = every step; 16 (the StyleGAN2 default) amortizes the
+    # double-backward from 1.83x to 1.06x a plain step (measured,
+    # scripts/bench_losses.py).  NOTE the equivalence is pre-optimizer: grad
+    # clipping and Adam moments see a k-scaled spike on on-steps (StyleGAN2
+    # compensates with c=k/(k+1) on lr/betas); monitor the unscaled d_r1
+    # metric.  Default only matters when r1_gamma > 0 (off by default).
+    r1_interval: int = 16
     diversity_weight: float = 0.1  # ref:src/v2/training.py:88
     instance_noise: float = 0.1  # ref:src/v2/training.py:99
     gen_optim: OptimConfig = field(

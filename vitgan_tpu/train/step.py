@@ -45,6 +45,7 @@ def make_raw_train_step(gan: GANBundle, cfg: ExperimentConfig):
     criterion = LO.pick_criterion(loss_name if loss_name in ("bce", "mse") else "bce")
     use_wgan = loss_name == "wgan-gp"
     r1_gamma = float(getattr(mcfg, "r1_gamma", 0.0) or 0.0)
+    r1_interval = max(1, int(getattr(mcfg, "r1_interval", 1) or 1))
     g_tx = make_optimizer(_optim_cfg(cfg, "gen"))
     d_tx = make_optimizer(_optim_cfg(cfg, "disc"))
     dtype = _compute_dtype(cfg)
@@ -84,7 +85,7 @@ def make_raw_train_step(gan: GANBundle, cfg: ExperimentConfig):
             d_fake_in = apply_augment(k_a2, d_fake_in, augment_spec)
 
         # ---------------- D update ----------------
-        def d_loss_fn(d_params):
+        def d_loss_fn(d_params, with_r1):
             dv = {"params": d_params, "state": state.d_state}
             if concat_d:
                 # Stat-free D: one forward over [real; fake] — identical math,
@@ -106,6 +107,7 @@ def make_raw_train_step(gan: GANBundle, cfg: ExperimentConfig):
                     {"params": d_params, "state": d_state1}, d_fake_in,
                     rng=k_d_fake, train=True
                 )
+            r1 = jnp.zeros((), jnp.float32)  # unscaled R1 penalty (0 off-step)
             if use_wgan:
                 k_gp_eps, k_gp_drop = jax.random.split(k_gp)
                 gp = LO.gradient_penalty(
@@ -121,22 +123,47 @@ def make_raw_train_step(gan: GANBundle, cfg: ExperimentConfig):
                 loss_real = criterion(real_logits, ones)
                 loss_fake = criterion(fake_logits, zeros)
                 loss = loss_real + loss_fake
-                if r1_gamma > 0:  # beyond-reference stabilizer (losses.r1_penalty)
-                    loss = loss + 0.5 * r1_gamma * LO.r1_penalty(
+                if with_r1:  # beyond-reference stabilizer (losses.r1_penalty)
+                    # Lazy R1 (StyleGAN2 lazy regularization): applied every
+                    # k-th step, scaled by k so the time-averaged LOSS
+                    # gradient matches the every-step form.  The equivalence
+                    # is pre-optimizer: grad clipping can rescale the spiked
+                    # on-step update and Adam's moments see a burstier
+                    # signal (StyleGAN2 compensates with c = k/(k+1) on
+                    # lr/betas) — monitor the unscaled d_r1 metric.
+                    r1 = LO.r1_penalty(
                         lambda x: gan.discriminator_apply(dv, x, rng=k_gp,
                                                           train=True)[0],
                         d_real_in,
-                    )
+                    ).astype(jnp.float32)
+                    loss = loss + 0.5 * r1_gamma * r1_interval * r1
             aux = {
                 "d_state": d_state2,
                 "loss_real": loss_real,
                 "loss_fake": loss_fake,
+                "r1": r1,
                 "real_acc": LO.accuracy_from_logits(real_logits, True),
                 "fake_acc": LO.accuracy_from_logits(fake_logits, False),
             }
             return loss, aux
 
-        (d_loss, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
+        def d_update(with_r1):
+            return jax.value_and_grad(
+                lambda p: d_loss_fn(p, with_r1), has_aux=True
+            )(state.d_params)
+
+        if (not use_wgan) and r1_gamma > 0 and r1_interval > 1:
+            # Lazy R1: the double-backward runs only on every r1_interval-th
+            # step.  lax.cond compiles both branches but EXECUTES one, so the
+            # off-steps cost a plain BCE update (measured: every-step R1 is
+            # ~1.83x a plain step — the same as WGAN-GP; lazy amortizes that
+            # to ~1/k).  Both branches share one pytree structure.
+            (d_loss, d_aux), d_grads = jax.lax.cond(
+                state.step % r1_interval == 0,
+                lambda _: d_update(True), lambda _: d_update(False), None,
+            )
+        else:
+            (d_loss, d_aux), d_grads = d_update((not use_wgan) and r1_gamma > 0)
         d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
         d_state = d_aux["d_state"]
@@ -182,6 +209,10 @@ def make_raw_train_step(gan: GANBundle, cfg: ExperimentConfig):
             "d_grad_norm": optax.global_norm(d_grads),
             "g_grad_norm": optax.global_norm(g_grads),
         }
+        if r1_gamma > 0 and not use_wgan:
+            # Unscaled penalty, comparable across r1_interval choices (the
+            # k-scaled term inside d_loss spikes on lazy on-steps by design).
+            metrics["d_r1"] = d_aux["r1"]
         new_state = state.replace(
             step=state.step + 1, rng=rng,
             g_params=g_params, g_state=g_state, g_opt=g_opt,
