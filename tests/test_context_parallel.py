@@ -32,6 +32,30 @@ def test_cp_matches_reference(cp_mesh, rng, mode):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
 
 
+def test_cp_with_pallas_policy_forced(cp_mesh, rng):
+    """Gather-CP calls dispatch_attention with CROSS-attention shapes (local
+    q over gathered k): the dispatcher must route those to XLA even when the
+    pallas policy would fire (the flash kernel assumes nq == nk — this was a
+    live trace-time crash on TPU at >=256 local tokens)."""
+    from vitgan_tpu.ops.policy import set_policy, _POLICY
+
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (1, 2, 64, 16))
+    k = jax.random.normal(k2, (1, 2, 64, 16))
+    v = jax.random.normal(k3, (1, 2, 64, 16))
+    want = attention_reference(q, k, v, "dot", 16.0)
+    old_mode, old_seq = _POLICY["mode"], _POLICY["min_seq_len"]
+    set_policy(mode="always", min_seq_len=1)
+    try:
+        qs, ks, vs = (shard_sequence(x, cp_mesh) for x in (q, k, v))
+        got = cp_attention(qs, ks, vs, cp_mesh, axis="model",
+                           score_mode="dot", scale=16.0)
+    finally:
+        set_policy(mode=old_mode, min_seq_len=old_seq)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+
 def test_cp_rejects_indivisible(cp_mesh, rng):
     q = jax.random.normal(rng, (1, 1, 30, 8))
     with pytest.raises(ValueError):

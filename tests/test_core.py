@@ -54,6 +54,10 @@ def test_mesh_and_batch_sharding(mesh8):
     assert sharded.sharding == batch_sharding(mesh8, 4)
     # Each device holds 1/8 of the batch.
     assert sharded.addressable_shards[0].data.shape == (2, 32, 32, 3)
+    # Scalar (0-d) leaves in a batch pytree are replicated, not sharded.
+    tree = shard_batch(mesh8, {"x": batch, "weight": np.float32(0.5)})
+    assert float(tree["weight"]) == 0.5
+    assert tree["weight"].sharding.is_fully_replicated
 
 
 def test_mesh_model_axis():

@@ -17,11 +17,21 @@ def test_dense_shapes(rng):
 
 
 def test_trunc_normal_init_stats(rng):
+    """torch parity: nn.init.trunc_normal_(std=0.02) truncates at ABSOLUTE
+    ±2 (±100σ — effectively untruncated), not ±2σ.  The sample std must be
+    ~0.02 (a ±2σ truncation would shrink it to ~0.0176) and normal tails
+    beyond 2σ must exist."""
     p = L.trunc_normal_init(rng, 256, 256, std=0.02)
     w = np.asarray(p["w"])
-    assert abs(w.std() - 0.02) < 0.005
-    assert np.abs(w).max() <= 0.04 + 1e-6  # truncated at 2 sigma
+    assert abs(w.std() - 0.02) < 0.0005
+    assert np.abs(w).max() <= 2.0  # the torch absolute truncation bound
+    assert (np.abs(w) > 0.04).sum() > 1000  # ~4.6% of 65536 draws beyond 2σ
     np.testing.assert_array_equal(np.asarray(p["b"]), 0)
+
+    import torch
+
+    t = torch.nn.init.trunc_normal_(torch.empty(256, 256), std=0.02)
+    assert abs(w.std() - float(t.std())) < 0.0005
 
 
 def test_layer_norm_golden(rng):

@@ -44,8 +44,15 @@ def torch_linear_init(key, in_features: int, out_features: int, bias: bool = Tru
 
 def trunc_normal_init(key, in_features: int, out_features: int, std: float = 0.02,
                       bias: bool = True, dtype=jnp.float32) -> Params:
-    """trunc_normal(0.02) weight, zero bias — ViT init (ref:src/v2/modules.py:241-247)."""
-    w = std * jax.random.truncated_normal(key, -2.0, 2.0, (in_features, out_features), dtype)
+    """trunc_normal(0.02) weight, zero bias — ViT init (ref:src/v2/modules.py:241-247).
+
+    torch parity detail: ``nn.init.trunc_normal_(std=0.02)`` truncates at the
+    ABSOLUTE bounds a=-2, b=2 (i.e. ±100σ at std 0.02 — effectively
+    untruncated), not at ±2σ; jax.random.truncated_normal takes bounds in σ
+    units, so the bounds are divided by std here.
+    """
+    w = std * jax.random.truncated_normal(key, -2.0 / std, 2.0 / std,
+                                          (in_features, out_features), dtype)
     p = {"w": w}
     if bias:
         p["b"] = jnp.zeros((out_features,), dtype)

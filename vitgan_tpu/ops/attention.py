@@ -882,9 +882,13 @@ def dispatch_attention(q, k, v, score_mode: str, scale: float):
 
     On non-TPU platforms a forced 'always' runs the kernel in interpreter mode
     (correctness testing); 'auto' stays on the XLA path there.
+
+    Cross-attention shapes (nq != nk, e.g. gather-based context parallelism's
+    local-q x global-k call) take the XLA path: the flash kernel's pad/block
+    layout assumes self-attention lengths.
     """
-    if use_pallas_attention(seq_len=q.shape[-2]):
+    if q.shape[-2] == k.shape[-2] and use_pallas_attention(seq_len=q.shape[-2]):
         return flash_attention(q, k, v, score_mode, scale, interpret=not _on_tpu())
-    if q.shape[-2] > 1024:  # long-sequence fallback off TPU: bound memory
+    if max(q.shape[-2], k.shape[-2]) > 1024:  # long-seq fallback: bound memory
         return attention_chunked(q, k, v, score_mode, scale)
     return attention_reference(q, k, v, score_mode, scale)

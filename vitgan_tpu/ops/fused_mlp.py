@@ -23,8 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _ceil_to(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from vitgan_tpu.ops.attention import _ceil_to  # shared alignment helper
 
 
 def _erf_poly(x):
@@ -169,16 +168,18 @@ fused_ln_mlp.defvjp(_fwd, _bwd)
 
 
 def dispatch_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, activation: str = "gelu",
-                    residual: bool = True, min_rows: int = 2048):
-    """Policy-routed LN+MLP: the Pallas kernel on TPU for big row counts
-    (shares the process-wide policy with the attention kernel), XLA otherwise."""
+                    residual: bool = True):
+    """Policy-routed LN+MLP: the Pallas kernel on TPU for big row counts,
+    XLA otherwise.  The row threshold comes from the process-wide policy
+    (``set_policy(min_mlp_rows=...)``), the single source of truth shared
+    with the attention kernel routing."""
     from vitgan_tpu.ops.policy import _POLICY, on_tpu as _on_tpu
 
     rows = 1
     for s in x.shape[:-1]:
         rows *= s
     mode = _POLICY["mode"]
-    min_rows = _POLICY.get("min_mlp_rows", min_rows)
+    min_rows = _POLICY["min_mlp_rows"]
     # Measured on v5e: at embed 128 / hidden 256 XLA's own fusion wins; the
     # kernel pays off once the hidden width is MXU-saturating (>=512).
     big_enough = rows >= min_rows and w1.shape[-1] >= 512

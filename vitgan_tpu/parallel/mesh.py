@@ -24,15 +24,22 @@ def initialize_distributed() -> None:
     The reference has no distributed backend at all (SURVEY §2.5); this is the
     TPU-native equivalent of what NCCL/MPI init would be elsewhere.
     """
-    try:
-        if jax.process_count() > 1:
-            return  # already initialized by the launcher
-        import os
+    import os
 
-        if "COORDINATOR_ADDRESS" in os.environ:
-            jax.distributed.initialize()
-    except Exception:
-        pass
+    if "COORDINATOR_ADDRESS" not in os.environ:
+        return
+    # ORDER MATTERS: jax.distributed.initialize() must run before anything
+    # that initializes the XLA backends — including jax.process_count(), so
+    # no "already initialized?" probe is possible here.  If the launcher
+    # already initialized, initialize() raises and we keep its state; any
+    # other failure is LOUD (a host silently training as an isolated
+    # single-process world is the worst failure mode).
+    try:
+        jax.distributed.initialize()
+    except RuntimeError as e:
+        if "must be called before" in str(e) or "already" in str(e).lower():
+            return  # launcher (or a prior call) initialized first — fine
+        raise
 
 
 def make_mesh(
@@ -55,7 +62,10 @@ def make_mesh(
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
-    """Shard the leading (batch) axis over the data axis; replicate the rest."""
+    """Shard the leading (batch) axis over the data axis; replicate the rest.
+    Scalar (0-d) leaves have no batch axis and are replicated."""
+    if ndim == 0:
+        return replicated_sharding(mesh)
     data_axis = mesh.axis_names[0]
     return NamedSharding(mesh, P(data_axis, *([None] * (ndim - 1))))
 
