@@ -97,6 +97,11 @@ def test_sweep_runner(dev_env):
     assert len(results) == 2
     assert json.load(open(str(dev_env / "sweeps" / "best_config.json")))["trial"] in (0, 1)
 
+    # Out-of-range host offsets fail loudly instead of running zero trials.
+    with pytest.raises(ValueError, match="trial_offset"):
+        run_sweep(num_trials=2, trial_offset=2, trial_stride=2, base_cfg=base,
+                  run_base=str(dev_env / "sweeps"))
+
 
 def test_cli_warmup_populates_compile_cache(dev_env, capsys):
     """`warmup` AOT-compiles without running; a repeat hits the persistent

@@ -37,6 +37,32 @@ def test_pipeline_epoch_drop_last(mesh8):
     assert x.addressable_shards[0].data.shape[0] == 2
 
 
+def test_pipeline_producer_failure_is_loud():
+    """A producer-thread exception must fail the epoch, not truncate it."""
+    imgs, labels = synthetic_dataset(64, 32, 3)
+    p = HostDataPipeline(imgs, labels, batch_size=16, seed=0)
+
+    boom = RuntimeError("decode failed")
+
+    def bad_make_batch(idx):
+        raise boom
+
+    p._make_batch = bad_make_batch
+    with pytest.raises(RuntimeError, match="producer failed") as exc:
+        list(p.epoch())
+    assert exc.value.__cause__ is boom
+
+
+def test_pipeline_multihost_len_matches_epoch():
+    """Multi-host always drops the partial batch; __len__ must agree."""
+    imgs, labels = synthetic_dataset(100, 32, 3)
+    p = HostDataPipeline(imgs, labels, batch_size=16, drop_last=False,
+                         process_index=0, process_count=2, seed=0)
+    batches = list(p.epoch())
+    assert len(batches) == len(p) == 6  # partial 4-image batch dropped
+    assert all(x.shape[0] == 8 for x, _ in batches)  # local slice = 16/2
+
+
 def test_pipeline_shuffles_between_epochs():
     imgs, labels = synthetic_dataset(64, 8, 3)
     p = HostDataPipeline(imgs, labels, batch_size=64, mesh=None, seed=0)

@@ -177,6 +177,19 @@ def test_bad_requests(server):
     assert exc.value.code == 404
 
 
+def test_serve_rejects_duplicate_model_names(tmp_path):
+    """Two --run-dir flags with the same basename must error, not silently
+    serve the wrong generator under the shared key."""
+    from vitgan_tpu.serve import serve
+
+    a = tmp_path / "expA" / "run_001"
+    b = tmp_path / "expB" / "run_001"
+    a.mkdir(parents=True)
+    b.mkdir(parents=True)
+    with pytest.raises(ValueError, match="duplicate model names"):
+        serve([str(a), str(b)])
+
+
 def test_pool_stream_distinct_from_seeded_streams():
     """The unseeded pool draws from a negative seed no client can reach: a
     seeded request with the pool seed's magnitude must NOT reproduce pool

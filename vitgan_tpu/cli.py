@@ -21,18 +21,23 @@ import sys
 from typing import List, Optional
 
 
-def _collect_overrides(args) -> dict:
+def _collect_overrides(args, family: Optional[str] = None) -> dict:
+    """CLI flags -> dotted config overrides.  ``family`` keys the per-family
+    flags (--batch-size/--seed/--loss); callers restoring a run dir MUST pass
+    the run's persisted family — args.family is just the parser default
+    ('v2') there, and mis-keyed overrides would be silently ignored."""
+    family = family or args.family
     overrides = {}
     if args.dataset:
         overrides["data.dataset"] = args.dataset
     if args.epochs is not None:
         overrides["run.epochs"] = args.epochs
     if args.batch_size is not None:
-        overrides[f"{args.family}.batch_size"] = args.batch_size
+        overrides[f"{family}.batch_size"] = args.batch_size
     if args.seed is not None:
-        overrides[f"{args.family}.seed"] = args.seed
-    if args.loss is not None and args.family in ("v1", "v2"):
-        overrides[f"{args.family}.loss"] = args.loss
+        overrides[f"{family}.seed"] = args.seed
+    if args.loss is not None and family in ("v1", "v2"):
+        overrides[f"{family}.loss"] = args.loss
     if args.run_name:
         overrides["run_name"] = args.run_name
     for kv in args.set or []:
@@ -84,38 +89,24 @@ def cmd_train(args) -> int:
 
 def _load_run_state(args):
     """(cfg, gan, state, meta, run_dir) from a run directory's persisted
-    config + checkpoint — shared by ``generate`` and ``eval``."""
-    import jax
-
+    config + checkpoint — shared by ``generate`` and ``eval``; the restore
+    sequence itself lives in utils.run_dirs.restore_run (also the serving
+    path's restore)."""
     from vitgan_tpu import config as C
-    from vitgan_tpu.models import build_gan
-    from vitgan_tpu.train import create_train_state
-    from vitgan_tpu.utils.checkpoint import CheckpointManager
-    from vitgan_tpu.utils.run_dirs import latest_run
+    from vitgan_tpu.utils.run_dirs import latest_run, restore_run
 
     run_dir = args.run_dir or latest_run()
     if run_dir is None:
         return None
     # The run's persisted training config is the source of truth for the model
     # shape (and whether g_ema exists in the checkpoint tree); CLI --set
-    # overrides still apply on top for runtime knobs.
+    # overrides still apply on top for runtime knobs.  Overrides are keyed by
+    # the PERSISTED family, not the parser default.
     cfg_path = os.path.join(run_dir, "config.json")
-    if os.path.exists(cfg_path):
-        cfg = C.load_config(cfg_path)
-    else:
-        cfg = _build_cfg(args)
-    overrides = _collect_overrides(args)
-    if overrides:
-        cfg = C.replace(cfg, **overrides)
-    # Same runtime knobs as training: the checkpointed PRNG key's shape depends
-    # on the configured impl, so the restore template must match.
-    from vitgan_tpu.ops.policy import apply_from_runtime
-
-    apply_from_runtime(cfg.runtime)
-    gan = build_gan(cfg)
-    state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
-    mgr = CheckpointManager(os.path.join(run_dir, "checkpoints"))
-    state, meta = mgr.restore(state, best=args.best)
+    base_cfg = C.load_config(cfg_path) if os.path.exists(cfg_path) else _build_cfg(args)
+    overrides = _collect_overrides(args, family=base_cfg.family)
+    cfg, gan, state, meta = restore_run(run_dir, best=args.best,
+                                        overrides=overrides, default_cfg=base_cfg)
     return cfg, gan, state, meta, run_dir
 
 
@@ -160,13 +151,24 @@ def cmd_eval(args) -> int:
         return 1
     cfg, gan, state, meta, run_dir = loaded
     b = cfg.model.batch_size
-    pipeline = make_pipeline(cfg.data, b, cfg.model.image_size, cfg.model.channels,
-                             seed=cfg.model.seed)
+    # Evaluation reals must be CLEAN: a run trained with augment_flip would
+    # otherwise have its real manifold measured on flipped images.
+    from vitgan_tpu import config as C
+
+    eval_data = C.replace(cfg, **{"data.augment_flip": False}).data
+    pipeline = make_pipeline(eval_data, b, cfg.model.image_size, cfg.model.channels,
+                             seed=cfg.model.seed,
+                             synthetic_samples=cfg.data.synthetic_samples)
     num = min(args.num_samples, pipeline.num_samples)
     extractor = make_feature_extractor(args.extractor, cfg.model.channels)
 
+    # Feed host-resident uint8 images straight to the extractor — the
+    # normalize->device_put->readback->to_uint8 round trip through
+    # pipeline.epoch() is two full-array tunnel transfers for data that
+    # never needed to leave the host.
+    imgs = pipeline.images
     real_feats = collect_features(
-        extractor, (np.asarray(x) for x, _ in pipeline.epoch()), num)
+        extractor, (imgs[i:i + b] for i in range(0, len(imgs), b)), num)
 
     # One fake sample set, reused for features and (when available) IS logits.
     sample = make_sample_fn(gan, cfg)

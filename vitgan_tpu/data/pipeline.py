@@ -83,8 +83,9 @@ class HostDataPipeline:
 
     def __len__(self) -> int:
         n = len(self.images) // self.batch_size
-        if not self.drop_last and len(self.images) % self.batch_size:
-            n += 1
+        if (self.process_count == 1 and not self.drop_last
+                and len(self.images) % self.batch_size):
+            n += 1  # multi-host always drops the partial batch (see epoch())
         return n
 
     @property
@@ -134,12 +135,18 @@ class HostDataPipeline:
         if not self.drop_last and len(self.images) % self.batch_size:
             slices.append(order[n_full * self.batch_size :])
         if self.process_count > 1:
+            # Multi-host slicing requires every host to contribute an equal
+            # local slice of a FULL global batch, so the trailing partial
+            # batch is always dropped here (regardless of drop_last, whose
+            # single-host meaning can't be honored across hosts) — and
+            # __len__ counts the same full batches, so step counts agree.
             local = self.batch_size // self.process_count
             lo = self.process_index * local
             slices = [sl[lo : lo + local] for sl in slices if len(sl) == self.batch_size]
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        failure: list = []
 
         def producer():
             try:
@@ -147,6 +154,8 @@ class HostDataPipeline:
                     if stop.is_set():
                         return
                     q.put(self._device_put(self._make_batch(sl)))
+            except BaseException as e:  # surfaced in the consumer, not stderr
+                failure.append(e)
             finally:
                 q.put(None)
 
@@ -158,6 +167,10 @@ class HostDataPipeline:
                 if item is None:
                     break
                 yield item
+            if failure:
+                # A dead producer must fail the epoch loudly — the silent
+                # alternative is training on a truncated epoch.
+                raise RuntimeError("data pipeline producer failed") from failure[0]
         finally:
             stop.set()
             # Drain so the producer never blocks forever on put().

@@ -63,6 +63,11 @@ def run_sweep(num_trials: int = 10, epochs_per_trial: int = 1, seed: int = 0,
     from vitgan_tpu import config as C
     from vitgan_tpu.train.trainer import Trainer
 
+    if not 0 <= trial_offset < max(1, trial_stride):
+        raise ValueError(
+            f"trial_offset={trial_offset} out of range for "
+            f"trial_stride={trial_stride} (valid: 0..{max(1, trial_stride) - 1}) — "
+            "an out-of-range offset would silently run zero trials")
     rng = np.random.default_rng(seed)
     base = base_cfg or C.replace(
         C.ExperimentConfig(family="v2", data=C.DataConfig(dataset=dataset)),

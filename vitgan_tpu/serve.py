@@ -271,21 +271,9 @@ class SamplerService:
 def load_service(run_dir: str, batch: int = 64, best: bool = False) -> SamplerService:
     """Restore a run's config + checkpoint into a SamplerService (EMA params
     when tracked — the same weights FID/best tracking use)."""
-    import os
+    from vitgan_tpu.utils.run_dirs import restore_run
 
-    from vitgan_tpu import config as C
-    from vitgan_tpu.models import build_gan
-    from vitgan_tpu.ops.policy import apply_from_runtime
-    from vitgan_tpu.train import create_train_state
-    from vitgan_tpu.utils.checkpoint import CheckpointManager
-
-    cfg_path = os.path.join(run_dir, "config.json")
-    cfg = C.load_config(cfg_path) if os.path.exists(cfg_path) else C.ExperimentConfig()
-    apply_from_runtime(cfg.runtime)
-    gan = build_gan(cfg)
-    state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
-    mgr = CheckpointManager(os.path.join(run_dir, "checkpoints"))
-    state, _meta = mgr.restore(state, best=best)
+    cfg, gan, state, _meta = restore_run(run_dir, best=best)
     return SamplerService(cfg, gan, state.g_vars_ema, batch=batch)
 
 
@@ -374,8 +362,16 @@ def serve(run_dirs, host: str = "127.0.0.1", port: int = 8000,
 
     if isinstance(run_dirs, str):
         run_dirs = [run_dirs]
-    services = {os.path.basename(os.path.normpath(d)): load_service(d, batch=batch, best=best)
-                for d in run_dirs}
+    names = [os.path.basename(os.path.normpath(d)) for d in run_dirs]
+    if len(set(names)) != len(names):
+        # Silent last-wins would load then orphan a model and serve the
+        # wrong generator for the shared name.
+        dups = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate model names in --run-dir: {dups} "
+                         "(registry keys are run-dir basenames — rename or "
+                         "symlink one of the dirs)")
+    services = {name: load_service(d, batch=batch, best=best)
+                for name, d in zip(names, run_dirs)}
     httpd = ThreadingHTTPServer((host, port), _make_handler(services))
     httpd.services = services  # exposed for tests/introspection
     httpd.service = next(iter(services.values()))  # back-compat single-model handle

@@ -24,13 +24,16 @@ def build_preset_cfg(name: str):
     from vitgan_tpu.models import _FAMILIES
 
     syn = C.DataConfig(dataset="synthetic")
+    if name.startswith("highres"):  # accept cli train's spelling too
+        name = "hires" + name[len("highres"):]
     if name == "deit64":
         return C.replace(C.deit64_config(), data=syn)
     if name in ("hires128", "hires256"):
         return C.replace(C.highres_config(int(name[5:])), data=syn)
     if name not in _FAMILIES:
         raise KeyError(f"unknown bench preset {name!r}: "
-                       f"{sorted(_FAMILIES)} + ['deit64', 'hires128', 'hires256']")
+                       f"{sorted(_FAMILIES)} + ['deit64', 'hires128'/'highres128', "
+                       f"'hires256'/'highres256']")
     return C.ExperimentConfig(family=name, data=syn)
 
 

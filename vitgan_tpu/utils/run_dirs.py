@@ -60,3 +60,36 @@ def latest_run(base: str | None = None) -> str | None:
         return None
     runs = sorted(d for d in os.listdir(base) if os.path.isdir(os.path.join(base, d)))
     return os.path.join(base, runs[-1]) if runs else None
+
+
+def restore_run(run_dir: str, best: bool = False, overrides: dict | None = None,
+                default_cfg=None):
+    """Restore a run directory into (cfg, gan, state, meta) — the ONE
+    restore sequence shared by ``cli generate``/``cli eval`` and the serving
+    path (serve.load_service), so restore-correctness rules (persisted
+    config as source of truth; apply_from_runtime BEFORE create_train_state
+    so the checkpointed PRNG key shape matches the restore template) live in
+    exactly one place."""
+    import jax
+
+    from vitgan_tpu import config as C
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.ops.policy import apply_from_runtime
+    from vitgan_tpu.train import create_train_state
+    from vitgan_tpu.utils.checkpoint import CheckpointManager
+
+    cfg_path = os.path.join(run_dir, "config.json")
+    if os.path.exists(cfg_path):
+        cfg = C.load_config(cfg_path)
+    elif default_cfg is not None:
+        cfg = default_cfg
+    else:
+        cfg = C.ExperimentConfig()
+    if overrides:
+        cfg = C.replace(cfg, **overrides)
+    apply_from_runtime(cfg.runtime)
+    gan = build_gan(cfg)
+    state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
+    mgr = CheckpointManager(os.path.join(run_dir, "checkpoints"))
+    state, meta = mgr.restore(state, best=best)
+    return cfg, gan, state, meta
