@@ -45,13 +45,21 @@ def fid_of(fake_u8: np.ndarray, real_u8: np.ndarray) -> float:
     return F.frechet_distance(mu_r, cov_r, mu_f, cov_f)
 
 
-def train_jax(imgs_u8: np.ndarray) -> np.ndarray:
+def train_jax(imgs_u8: np.ndarray, real_sample: np.ndarray, eval_every: int = 100):
+    """Returns (final fakes, pure train seconds, FID curve).
+
+    The curve records (step, cumulative train seconds, FID) at every
+    ``eval_every`` steps — FID evals pause the train clock, so
+    ``train_seconds`` is honest device time (synced via host readback of a
+    result-dependent scalar, see probe_sync.py for why block_until_ready
+    alone is not enough on this platform)."""
     import jax
 
     from vitgan_tpu import config as C
     from vitgan_tpu.models import build_gan
     from vitgan_tpu.ops.policy import enable_persistent_compilation_cache
     from vitgan_tpu.train import create_train_state, make_sample_fn
+    from vitgan_tpu.train.fid import to_uint8
     from vitgan_tpu.train.step import make_device_data_train_fn
 
     enable_persistent_compilation_cache()
@@ -59,25 +67,35 @@ def train_jax(imgs_u8: np.ndarray) -> np.ndarray:
     gan = build_gan(cfg)
     state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
     k = 50
+    eval_every = max(k, (eval_every // k) * k)  # align evals to scan calls
     fn = make_device_data_train_fn(gan, cfg, k, donate=False)
     ds = jax.device_put(imgs_u8)
+    sample = make_sample_fn(gan, cfg)
     rng = np.random.default_rng(0)
-    t0 = time.time()
+
+    def fakes_now():
+        out = []
+        for i in range(N_FID // BATCH):
+            z = gan.sample_latent(jax.random.PRNGKey(10_000 + i), BATCH)
+            out.append(np.asarray(sample(state.g_vars, z)))
+        return to_uint8(np.concatenate(out))
+
+    curve = []
+    jax_time = 0.0
     done = 0
     while done < STEPS:
+        t0 = time.time()
         idx = rng.integers(0, len(imgs_u8), (k, BATCH)).astype(np.int32)
         state, ms = fn(state, ds, idx)
+        float(np.asarray(ms["d_loss"][-1]))  # sync: host readback, not just block
+        jax_time += time.time() - t0
         done += k
-    jax.block_until_ready(ms["d_loss"])
-    jax_time = time.time() - t0
-    sample = make_sample_fn(gan, cfg)
-    fakes = []
-    for i in range(N_FID // BATCH):
-        z = gan.sample_latent(jax.random.PRNGKey(10_000 + i), BATCH)
-        fakes.append(np.asarray(sample(state.g_vars, z)))
-    from vitgan_tpu.train.fid import to_uint8
-
-    return to_uint8(np.concatenate(fakes)), jax_time
+        if done % eval_every == 0 or done >= STEPS:
+            f = fid_of(fakes_now(), real_sample)
+            curve.append({"step": done, "train_seconds": round(jax_time, 2),
+                          "fid": round(float(f), 3)})
+            print(f"  jax step {done}: {jax_time:.1f}s, FID {f:.2f}", flush=True)
+    return fakes_now(), jax_time, curve
 
 
 def train_torch(imgs_u8: np.ndarray):
@@ -118,17 +136,27 @@ def train_torch(imgs_u8: np.ndarray):
 def main():
     imgs = dataset()
     real_sample = imgs[:N_FID]
-    jax_fake, jax_time = train_jax(imgs)
+    jax_fake, jax_time, curve = train_jax(imgs, real_sample)
     fid_jax = fid_of(jax_fake, real_sample)
     print(f"jax/TPU: {STEPS} steps in {jax_time:.1f}s, FID {fid_jax:.2f}", flush=True)
     torch_fake, torch_time = train_torch(imgs)
     fid_torch = fid_of(torch_fake, real_sample)
     print(f"torch/CPU: {STEPS} steps in {torch_time:.1f}s, FID {fid_torch:.2f}", flush=True)
+    # Time-to-quality: first point on the TPU curve at or below the torch
+    # final FID — the deployment-relevant ratio (same model, same data,
+    # same scorer; wall-clock to reach the baseline's quality).
+    reach = next((p for p in curve if p["fid"] <= fid_torch), None)
     out = {
         "steps": STEPS, "batch": BATCH, "fid_samples": N_FID,
         "extractor": "random_conv(seed=42, 512-d)",
-        "jax_tpu": {"fid": fid_jax, "train_seconds": jax_time},
+        "jax_tpu": {"fid": fid_jax, "train_seconds": jax_time, "fid_curve": curve},
         "torch_cpu": {"fid": fid_torch, "train_seconds": torch_time},
+        "time_to_torch_quality": (
+            None if reach is None else {
+                **reach,
+                "speedup_vs_torch": round(torch_time / max(reach["train_seconds"], 1e-9), 1),
+            }
+        ),
     }
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "FID_COMPARISON.json")

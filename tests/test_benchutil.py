@@ -26,6 +26,16 @@ def test_measure_scanned_train_smoke():
     assert ips > 0
 
 
+def test_warmup_compile_keeps_output_dir_clean(tmp_path, monkeypatch):
+    """Regression: warmup built its Trainer under $SCRATCH/output, so every
+    warmup left a junk timestamped run dir that latest_run() would resolve."""
+    monkeypatch.setenv("SCRATCH", str(tmp_path))
+    secs = B.warmup_compile(C.smoke_config("mlp"))
+    assert secs >= 0
+    assert not (tmp_path / "output").exists()
+    assert any((tmp_path / "warmup").iterdir())
+
+
 def test_xla_step_gflops_smoke():
     import jax
 

@@ -73,6 +73,49 @@ def test_trainer_on_device_path(tmp_path):
     assert np.isfinite(metrics["d_loss"])
 
 
+def test_trainer_partial_batch_falls_back_to_host_path(tmp_path):
+    """Regression: drop_last=False with a real partial batch must use the host
+    pipeline (the fixed-shape on-device scan would silently drop it)."""
+    from vitgan_tpu.parallel import make_mesh
+    from vitgan_tpu.train.trainer import Trainer
+
+    mesh = make_mesh(devices=jax.devices()[:1])
+    base = C.replace(
+        C.smoke_config("mlp"),
+        **{"data.synthetic_samples": 20, "data.drop_last": False,
+           "run.steps_per_epoch": 0, "run.checkpoint_every_epochs": 0,
+           "run.fid_num_samples": 16},
+    )
+    tr = Trainer(C.replace(base, run_name="partial"), mesh=mesh,
+                 run_base=str(tmp_path), fid_extractor="random_conv")
+    assert tr._device_dataset is None
+    tr.fit(epochs=1)
+    assert int(tr.state.step) == 3  # 8 + 8 + the 4-sample partial batch
+
+    even = C.replace(base, **{"data.drop_last": True}, run_name="full")
+    tr2 = Trainer(even, mesh=mesh, run_base=str(tmp_path),
+                  fid_extractor="random_conv")
+    assert tr2._device_dataset is not None
+
+
+def test_on_device_fid_small_dataset_draws_with_replacement(tmp_path):
+    """Regression: choice(replace=False) crashed when batch_size exceeded the
+    dataset size in the on-device FID real-index draw."""
+    from vitgan_tpu.parallel import make_mesh
+    from vitgan_tpu.train.trainer import Trainer
+
+    mesh = make_mesh(devices=jax.devices()[:1])
+    cfg = C.replace(
+        C.smoke_config("mlp"),
+        **{"data.synthetic_samples": 4, "run.checkpoint_every_epochs": 0},
+        run_name="tinyfid",
+    )
+    tr = Trainer(cfg, mesh=mesh, run_base=str(tmp_path),
+                 fid_extractor="random_conv")
+    assert tr._device_dataset is not None
+    assert np.isfinite(tr.evaluate_fid())
+
+
 def test_trainer_multi_device_uses_host_path(tmp_path, mesh8):
     from vitgan_tpu.train.trainer import Trainer
 

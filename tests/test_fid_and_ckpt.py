@@ -103,6 +103,21 @@ def test_checkpoint_retention_and_latest(tmp_path, rng):
     assert mgr.latest_step() == 4
 
 
+def test_checkpoint_retention_never_strands_a_run(tmp_path, rng):
+    """Regression: _retain ran right after dispatching the async save, so at
+    keep=1 the only durable checkpoint was deleted while the new one was still
+    in flight — a crash in that window left nothing restorable."""
+    cfg = C.smoke_config("mlp")
+    gan = build_gan(cfg)
+    state = jax.device_get(create_train_state(rng, gan, cfg))
+    mgr = CheckpointManager(str(tmp_path), keep=1)
+    mgr.save(1, state)
+    mgr.save(2, state)  # step 2 may still be in flight here...
+    assert 1 in mgr.all_steps()  # ...so step 1 must still be on disk
+    mgr.wait()  # everything durable: trim to exactly keep
+    assert mgr.all_steps() == [2]
+
+
 def test_checkpoint_best(tmp_path, rng):
     cfg = C.smoke_config("mlp")
     gan = build_gan(cfg)

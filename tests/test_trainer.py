@@ -83,6 +83,41 @@ def test_trainer_early_stop_resume_does_not_repeat_epoch(tmp_path, smoke_cfg):
     assert int(tr2.state.step) == step_before
 
 
+def test_trainer_resume_best_restores_best_metric(tmp_path, smoke_cfg):
+    """Regression: save_best omitted 'best_metric', so resume(best=True) reset
+    best tracking to inf and let a worse later model overwrite best/."""
+    cfg = C.replace(smoke_cfg, run_name="tbest")
+    tr = Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
+    tr.fit(epochs=1)
+    best = tr.best_metric
+    assert np.isfinite(best)
+
+    tr2 = Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
+    tr2.resume(best=True)
+    assert tr2.best_metric == pytest.approx(best)
+    assert tr2.epoch == 1  # next epoch to run, persisted alongside
+
+
+def test_trainer_early_stop_min_delta_wired(tmp_path, smoke_cfg):
+    """Regression: EarlyStopping hard-coded min_delta=2.0 with no override."""
+    cfg = C.replace(smoke_cfg, run_name="tmind",
+                    **{"run.early_stop_patience": 2,
+                       "run.early_stop_min_delta": 0.25})
+    tr = Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
+    assert tr._early is not None and tr._early.min_delta == 0.25
+
+
+def test_trainer_final_grid_labels_completed_epoch(tmp_path, smoke_cfg):
+    """Regression: the crash-safe epilogue grid was named after the
+    next-to-run epoch, mislabeling the frame and polluting the GIF."""
+    cfg = C.replace(smoke_cfg, run_name="tgrid")
+    tr = Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
+    tr.fit(epochs=1)
+    images = os.path.join(str(tmp_path), "tgrid", "images")
+    assert os.path.exists(os.path.join(images, "epoch_0000.png"))
+    assert not os.path.exists(os.path.join(images, "epoch_0001.png"))
+
+
 def test_trainer_persists_config(tmp_path, smoke_cfg):
     cfg = C.replace(smoke_cfg, run_name="tcfg")
     Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")

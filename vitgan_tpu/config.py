@@ -312,6 +312,10 @@ class TrainRunConfig:
     diff_augment: str = ""  # DiffAugment spec for D inputs, e.g. "color,translation,cutout"
     steps_per_call: int = 1  # >1 scans this many updates in one device call (dispatch amortization)
     early_stop_patience: int = 0  # >0 enables FID early stopping (ref:src/v2/modules.py:26-45)
+    # Minimum FID improvement that resets the patience counter (the
+    # reference's hard-coded 2.0, ref:src/v2/modules.py:30 — now a knob:
+    # steady sub-delta improvements would otherwise stop a converging run).
+    early_stop_min_delta: float = 2.0
     ema_decay: float = 0.0  # >0 keeps an EMA copy of G params for sampling/FID
 
 

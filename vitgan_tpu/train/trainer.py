@@ -72,17 +72,29 @@ class Trainer:
         # the host boundary (single-device meshes; multi-device keeps the host
         # pipeline whose batches are pre-sharded over the data axis).
         self._device_dataset = None
+        # The on-device scan has a fixed batch shape, so it can only run full
+        # batches; when drop_last=False actually implies a partial batch, use
+        # the host pipeline (which honors it) instead of silently dropping it.
+        honors_partial = (cfg.data.drop_last
+                          or len(self.pipeline.images) % m.batch_size == 0)
         if (cfg.data.on_device and self.mesh.devices.size == 1
+                and honors_partial
                 and self.pipeline.images.nbytes <= cfg.data.on_device_max_bytes):
             from vitgan_tpu.train.step import make_device_data_train_fn
 
             self._device_dataset = jax.device_put(self.pipeline.images)
             # One scanned call per epoch by default: on tunneled devices every
             # per-call host round trip costs ~200ms once any metric has been
-            # read, so the fewer device calls per epoch the better.
+            # read, so the fewer device calls per epoch the better.  Sized
+            # from FULL batches and the steps_per_epoch cap —
+            # len(self.pipeline) would count a partial batch and compile a
+            # scan length the epoch never uses.
+            n_full = len(self.pipeline.images) // m.batch_size
+            k = min(max(1, n_full), 1024)
+            if cfg.run.steps_per_epoch:
+                k = min(k, cfg.run.steps_per_epoch)
             self._device_steps_per_call = (
-                self.steps_per_call if cfg.run.steps_per_call > 1
-                else min(max(1, len(self.pipeline)), 1024)
+                self.steps_per_call if cfg.run.steps_per_call > 1 else k
             )
             self._device_train_fn = make_device_data_train_fn(
                 self.gan, cfg, self._device_steps_per_call,
@@ -113,7 +125,8 @@ class Trainer:
         if cfg.run.early_stop_patience > 0:
             from vitgan_tpu.utils.logging import EarlyStopping
 
-            self._early = EarlyStopping(patience=cfg.run.early_stop_patience)
+            self._early = EarlyStopping(patience=cfg.run.early_stop_patience,
+                                        min_delta=cfg.run.early_stop_min_delta)
         self.log.info(
             "model %s: G params %d, D params %d | devices %d",
             cfg.family,
@@ -159,6 +172,9 @@ class Trainer:
             if i >= num_batches:
                 break
             m = self._eval_step(self.state, real, jax.random.PRNGKey(1000 + i))
+            # ONE host pull per batch — float(v) per metric would pay a
+            # device-link round trip for every scalar.
+            m = jax.device_get(m)
             for k, v in m.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             n += 1
@@ -212,8 +228,11 @@ class Trainer:
                 )
                 self._fid_n_batches = n_batches
             rng_np = np.random.default_rng(int(self.state.step))
-            real_idx = rng_np.choice(self.pipeline.num_samples,
-                                     size=(n_batches, b), replace=False).astype(np.int32)
+            # With replacement when the dataset is smaller than the draw
+            # (batch > dataset): choice(replace=False) would raise.
+            n_pop = self.pipeline.num_samples
+            real_idx = rng_np.choice(n_pop, size=(n_batches, b),
+                                     replace=n_batches * b > n_pop).astype(np.int32)
             return self._fid_fn(self.state.g_vars_ema, self._device_dataset,
                                 jnp.asarray(real_idx),
                                 jax.random.PRNGKey(int(self.state.step)))
@@ -358,9 +377,15 @@ class Trainer:
                     crit = means.get(run.best_metric, fid_val)
                     if crit < self.best_metric:
                         self.best_metric = crit
+                        # Metadata uses the same keys resume() reads
+                        # ('best_metric', 'epoch' = NEXT epoch to run) so
+                        # resume(best=True) keeps the best tracking instead
+                        # of resetting it to inf and overwriting best/ with
+                        # a worse later model.
                         self.ckpts.save_best(
                             int(self.state.step), jax.device_get(self.state),
-                            run.best_metric, crit, {"epoch": epoch},
+                            run.best_metric, crit,
+                            {"epoch": epoch + 1, "best_metric": crit},
                         )
                     if self._early is not None and self._early.step(fid_val):
                         self.log.info("early stopping at epoch %d (FID %.3f)", epoch, fid_val)
@@ -393,7 +418,11 @@ class Trainer:
             self.ckpts.wait()  # the final save must be durable before we return
             self.metrics.save_figures(self.dirs.images)
             try:
-                self._save_grids(self.epoch)
+                # Label the final grid with the LAST COMPLETED epoch —
+                # self.epoch is the next-to-run cursor, and naming the file
+                # after it would mislabel the frame (and collide with the
+                # real epoch-N grid on a resumed run).
+                self._save_grids(max(0, self.epoch - 1))
                 from vitgan_tpu.utils.images import save_training_gif
 
                 save_training_gif(self.dirs.images,

@@ -107,13 +107,18 @@ def warmup_compile(cfg, scan_steps: int = 0) -> float:
     guaranteed cache miss).  ``scan_steps`` additionally pre-compiles the
     ``cli bench`` harness when nonzero.  Returns seconds spent compiling
     (near zero when already cached)."""
+    import os
     import time
 
     import jax
 
+    from vitgan_tpu.config import scratch_root
     from vitgan_tpu.train.trainer import Trainer
 
-    trainer = Trainer(cfg)
+    # Warmup run dirs land under $SCRATCH/warmup, NOT $SCRATCH/output —
+    # otherwise every warmup leaves a junk timestamped dir that latest_run()
+    # (and 'generate from latest run') would resolve instead of a real run.
+    trainer = Trainer(cfg, run_base=os.path.join(scratch_root(), "warmup"))
     abstract = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
                             trainer.state)
     b, s, c = cfg.model.batch_size, cfg.model.image_size, cfg.model.channels

@@ -36,11 +36,15 @@ class CheckpointManager:
         """Async save: returns once the write is dispatched; completion is awaited
         before any subsequent save/restore (training never blocks on IO)."""
         self._ckptr.wait_until_finished()
+        # Retention runs BEFORE dispatching the new save, when every listed
+        # checkpoint is durable: deleting after dispatch would, at keep=1,
+        # remove the only durable checkpoint while the new one is still in
+        # flight — a crash there would leave nothing restorable.
+        self._retain()
         path = self._path(step)
         self._ckptr.save(path, state, force=True)
         with open(path + ".json", "w") as f:
             json.dump({"step": step, **(metadata or {})}, f)
-        self._retain(in_flight=step)
         return path
 
     def save_best(self, step: int, state: Any, metric_name: str, metric_value: float,
@@ -56,11 +60,16 @@ class CheckpointManager:
 
     def wait(self) -> None:
         self._ckptr.wait_until_finished()
+        # Everything is durable now, so the keep+1-th transient checkpoint
+        # (left by retain-before-dispatch in save()) can be trimmed safely.
+        self._retain()
 
-    def _retain(self, in_flight: Optional[int] = None) -> None:
-        # The just-dispatched async save may not be on disk yet; count it.
-        steps = sorted(set(self.all_steps()) | ({in_flight} if in_flight is not None else set()))
-        steps = [s for s in steps[: max(0, len(steps) - self.keep)] if s != in_flight]
+    def _retain(self) -> None:
+        # Called with no save in flight: keep the newest ``keep`` durable
+        # checkpoints (the save about to be dispatched will be keep+1-th
+        # transiently, trimmed at the next save once durable).
+        steps = self.all_steps()
+        steps = steps[: max(0, len(steps) - self.keep)]
         for s in steps:
             p = self._path(s)
             import shutil
