@@ -37,6 +37,16 @@ def test_gather_normalize_flip(batcher):
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
+def test_gather_normalize_rejects_out_of_range_indices(batcher):
+    """The C side can't bounds-check (it never sees N); the binding must raise
+    like NumPy fancy indexing instead of reading out-of-bounds memory."""
+    images = np.zeros((4, 2, 2, 1), np.uint8)
+    with pytest.raises(IndexError):
+        batcher.gather_normalize(images, np.array([0, 4]))
+    with pytest.raises(IndexError):
+        batcher.gather_normalize(images, np.array([-1, 1]))
+
+
 def test_single_thread_path(batcher):
     images = np.arange(2 * 2 * 2 * 1, dtype=np.uint8).reshape(2, 2, 2, 1)
     b1 = native.NativeBatcher(num_threads=1)

@@ -97,6 +97,13 @@ class NativeBatcher:
         assert images_u8.dtype == np.uint8 and images_u8.ndim == 4
         images_u8 = np.ascontiguousarray(images_u8)
         indices = np.ascontiguousarray(indices, np.int64)
+        # The C side dereferences images+idx*stride unchecked (it never sees
+        # N) — match the NumPy fallback's IndexError instead of reading
+        # out-of-bounds host memory.
+        if len(indices) and (indices.min() < 0 or indices.max() >= len(images_u8)):
+            raise IndexError(
+                f"gather indices out of range [0, {len(images_u8)}): "
+                f"min {indices.min()}, max {indices.max()}")
         b = len(indices)
         _, h, w, c = images_u8.shape
         out = np.empty((b, h, w, c), np.float32)
