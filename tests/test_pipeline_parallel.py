@@ -1,0 +1,190 @@
+"""Pipeline parallelism: the GPipe schedule over a ``pipe`` mesh axis must
+match the sequential block loop exactly (forward AND gradients), compose with
+the data axis, and drop into the v2 train step via pp_bundle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from vitgan_tpu.parallel.pipeline import (pipeline_blocks, pp_bundle,
+                                          stack_blocks)
+
+DEPTH, BATCH, TOK, DIM = 8, 8, 6, 16
+
+
+@pytest.fixture(scope="module")
+def pipe_mesh():
+    return Mesh(np.array(jax.devices()[:4]).reshape(4), axis_names=("pipe",))
+
+
+@pytest.fixture(scope="module")
+def dp_pipe_mesh():
+    return Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                axis_names=("data", "pipe"))
+
+
+def _toy_blocks(key, depth=DEPTH, dim=DIM):
+    keys = jax.random.split(key, depth)
+    return [{"w": 0.5 * jax.random.normal(k, (dim, dim)),
+             "b": 0.01 * jnp.arange(dim, dtype=jnp.float32)} for k in keys]
+
+
+def _toy_block_fn(p, h):
+    return jnp.tanh(h @ p["w"] + p["b"]) + h
+
+
+def _sequential(blocks, x):
+    for p in blocks:
+        x = _toy_block_fn(p, x)
+    return x
+
+
+def test_forward_matches_sequential(pipe_mesh, rng):
+    k1, k2 = jax.random.split(rng)
+    blocks = _toy_blocks(k1)
+    x = jax.random.normal(k2, (BATCH, TOK, DIM))
+    want = _sequential(blocks, x)
+    got = pipeline_blocks(stack_blocks(blocks), x, mesh=pipe_mesh, axis="pipe",
+                          microbatches=4, block_fn=_toy_block_fn)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_single_stage_degenerates(rng):
+    """A 1-stage pipe is just the sequential loop (no ppermute, no bubble)."""
+    mesh1 = Mesh(np.array(jax.devices()[:1]), axis_names=("pipe",))
+    k1, k2 = jax.random.split(rng)
+    blocks = _toy_blocks(k1, depth=3)
+    x = jax.random.normal(k2, (4, TOK, DIM))
+    got = pipeline_blocks(stack_blocks(blocks), x, mesh=mesh1, axis="pipe",
+                          microbatches=2, block_fn=_toy_block_fn)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_sequential(blocks, x)),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_gradients_match_sequential(pipe_mesh, rng):
+    """AD through ppermute/masked collection IS the reverse pipeline — grads
+    wrt both the block params and the input must equal the sequential ones."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    blocks = _toy_blocks(k1)
+    x = jax.random.normal(k2, (BATCH, TOK, DIM))
+    cot = jax.random.normal(k3, (BATCH, TOK, DIM))
+
+    def loss_pp(blocks, x):
+        out = pipeline_blocks(stack_blocks(blocks), x, mesh=pipe_mesh,
+                              axis="pipe", microbatches=4,
+                              block_fn=_toy_block_fn)
+        return jnp.sum(out * cot)
+
+    def loss_seq(blocks, x):
+        return jnp.sum(_sequential(blocks, x) * cot)
+
+    g_pp = jax.grad(loss_pp, argnums=(0, 1))(blocks, x)
+    g_seq = jax.grad(loss_seq, argnums=(0, 1))(blocks, x)
+    for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_seq)):
+        # reverse-pipeline cotangent sums reduce in a different order than the
+        # sequential backward — fp32 noise only, not a schedule error
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=1e-5)
+
+
+def test_composes_with_data_axis(dp_pipe_mesh, rng):
+    """DP x PP on one mesh: batch sharded over data, blocks over pipe."""
+    k1, k2 = jax.random.split(rng)
+    blocks = _toy_blocks(k1)
+    x = jax.random.normal(k2, (BATCH, TOK, DIM))
+    want = _sequential(blocks, x)
+    got = pipeline_blocks(stack_blocks(blocks), x, mesh=dp_pipe_mesh,
+                          axis="pipe", microbatches=2, block_fn=_toy_block_fn,
+                          dp_axis="data")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_rng_plumbing_deterministic(pipe_mesh, rng):
+    """Per-(block, microbatch) keys reach the block_fn; same keys -> same out."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    blocks = _toy_blocks(k1, depth=4)
+    x = jax.random.normal(k2, (BATCH, TOK, DIM))
+    keys = jax.random.split(k3, 4 * 2).reshape(4, 2, -1)  # raw uint32 keys
+
+    def noisy_block(p, h, kk):
+        return _toy_block_fn(p, h) + 0.01 * jax.random.normal(kk, h.shape)
+
+    run = lambda: pipeline_blocks(stack_blocks(blocks), x, mesh=pipe_mesh,
+                                  axis="pipe", microbatches=2,
+                                  block_fn=noisy_block, rngs=keys)
+    a, b = run(), run()
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the noise actually entered (differs from the noise-free stack)
+    assert not np.allclose(np.asarray(a), np.asarray(_sequential(blocks, x)))
+
+
+def test_rejects_indivisible(pipe_mesh, rng):
+    blocks = _toy_blocks(rng, depth=6)  # 6 % 4 != 0
+    x = jnp.zeros((BATCH, TOK, DIM))
+    with pytest.raises(ValueError, match="not divisible by pipeline stages"):
+        pipeline_blocks(stack_blocks(blocks), x, mesh=pipe_mesh, axis="pipe",
+                        microbatches=4, block_fn=_toy_block_fn)
+    blocks = _toy_blocks(rng, depth=8)
+    with pytest.raises(ValueError, match="not divisible by microbatches"):
+        pipeline_blocks(stack_blocks(blocks), x, mesh=pipe_mesh, axis="pipe",
+                        microbatches=3, block_fn=_toy_block_fn)
+
+
+# ---------------------------------------------------------------------------
+# v2 model + train-step integration
+# ---------------------------------------------------------------------------
+
+
+def _pp_cfg():
+    from vitgan_tpu import config as C
+
+    cfg = C.smoke_config("v2")
+    return C.replace(cfg, **{"v2.depth": 4, "v2.dropout": 0.0,
+                             "runtime.compute_dtype": "float32",
+                             "runtime.donate_state": False})
+
+
+def test_v2_generator_pp_matches(pipe_mesh, rng):
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.parallel.pipeline import make_pp_block_runner
+
+    cfg = _pp_cfg()
+    gan = build_gan(cfg)
+    g_vars = gan.generator_init(rng)
+    z = gan.sample_latent(jax.random.PRNGKey(7), 8)
+    want, _ = gan.generator_apply(g_vars, z)
+    runner = make_pp_block_runner(cfg.model, mesh=pipe_mesh, axis="pipe",
+                                  microbatches=2)
+    from vitgan_tpu.models.vitgan_v2 import generator_apply
+
+    got, _ = generator_apply(g_vars, z, cfg.model, blocks_runner=runner)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_pp_train_step_matches_sequential(pipe_mesh, rng):
+    """One full alternating G/D update with the block stacks pipelined gives
+    the same losses as the single-device step (dropout off, f32)."""
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.train import create_train_state, make_train_step
+
+    cfg = _pp_cfg()
+    gan = build_gan(cfg)
+    ppg = pp_bundle(gan, cfg, mesh=pipe_mesh, axis="pipe", microbatches=2)
+    assert ppg.sample_latent is not None and ppg.family == "v2"
+
+    real = jax.random.uniform(jax.random.PRNGKey(5),
+                              (cfg.model.batch_size, cfg.model.image_size,
+                               cfg.model.image_size, cfg.model.channels),
+                              minval=-1.0, maxval=1.0)
+    state_a = create_train_state(rng, gan, cfg)
+    state_b = create_train_state(rng, gan, cfg)
+    _, m_seq = make_train_step(gan, cfg, donate=False)(state_a, real)
+    _, m_pp = make_train_step(ppg, cfg, donate=False)(state_b, real)
+    for key in ("d_loss", "g_loss"):
+        np.testing.assert_allclose(float(m_pp[key]), float(m_seq[key]),
+                                   rtol=1e-4, atol=1e-5)

@@ -140,7 +140,21 @@ def vit_init(key, cfg: V2Config, n_classes: int, dtype=jnp.float32) -> Dict[str,
     }
 
 
-def vit_encode(params, images, cfg: V2Config, *, rng=None, train=False) -> jnp.ndarray:
+def _run_blocks(blocks, x, rngs, cfg: V2Config, train, blocks_runner):
+    """Apply the encoder stack: sequential remat loop, or a pluggable runner
+    (parallel.pipeline installs a GPipe schedule here; rngs is a list of
+    per-block keys or None)."""
+    if blocks_runner is not None:
+        return blocks_runner(blocks, x, rngs)
+    block = _maybe_remat(lambda p, x, r: _encoder_apply(p, x, cfg, r, train))
+    rngs = rngs if rngs is not None else [None] * len(blocks)
+    for p, r in zip(blocks, rngs):
+        x = block(p, x, r)
+    return x
+
+
+def vit_encode(params, images, cfg: V2Config, *, rng=None, train=False,
+               blocks_runner=None) -> jnp.ndarray:
     """images -> (B, N+1, E) encoded tokens after the final LN."""
     x = L.dense(params["embed"], patchify(images, cfg.patch_size))
     x = x + params["pos"].astype(x.dtype)  # CLS excluded, ref:src/v2/modules.py:93-98
@@ -148,17 +162,18 @@ def vit_encode(params, images, cfg: V2Config, *, rng=None, train=False) -> jnp.n
     cls = jnp.broadcast_to(params["cls"].astype(x.dtype), (b, 1, cfg.embed_dim))
     x = jnp.concatenate([cls, x], axis=1)
     n = cfg.depth + 1
-    rngs = jax.random.split(rng, n) if rng is not None else [None] * n
-    x = L.dropout(rngs[0], x, cfg.dropout, train)
-    block = _maybe_remat(lambda p, x, r: _encoder_apply(p, x, cfg, r, train))
-    for p, r in zip(params["blocks"], rngs[1:]):
-        x = block(p, x, r)
+    rngs = jax.random.split(rng, n) if rng is not None else None
+    x = L.dropout(rngs[0] if rng is not None else None, x, cfg.dropout, train)
+    x = _run_blocks(params["blocks"], x, rngs[1:] if rng is not None else None,
+                    cfg, train, blocks_runner)
     return L.layer_norm(params["ln"], x)
 
 
-def vit_apply(params, images, cfg: V2Config, *, rng=None, train=False) -> jnp.ndarray:
+def vit_apply(params, images, cfg: V2Config, *, rng=None, train=False,
+              blocks_runner=None) -> jnp.ndarray:
     """Full ViT: encode then CLS -> Linear -> Tanh -> Linear (ref:src/v2/modules.py:186-199)."""
-    x = vit_encode(params, images, cfg, rng=rng, train=train)
+    x = vit_encode(params, images, cfg, rng=rng, train=train,
+                   blocks_runner=blocks_runner)
     h = jnp.tanh(L.dense(params["head_fc1"], x[:, 0, :]))
     return L.dense(params["head_fc2"], h)
 
@@ -189,15 +204,14 @@ def generator_init(key, cfg: V2Config, dtype=jnp.float32) -> Dict[str, Any]:
     return {"params": params, "state": {}}
 
 
-def generator_apply(variables, z, cfg: V2Config, *, rng=None, train=False):
+def generator_apply(variables, z, cfg: V2Config, *, rng=None, train=False,
+                    blocks_runner=None):
     params = variables["params"]
     n_patches = (cfg.image_size // cfg.patch_size) ** 2
     x = L.dense(params["mapping"], z).reshape(-1, n_patches, cfg.embed_dim)
     x = x + params["pos"].astype(x.dtype)
-    rngs = jax.random.split(rng, cfg.depth) if rng is not None else [None] * cfg.depth
-    block = _maybe_remat(lambda p, x, r: _encoder_apply(p, x, cfg, r, train))
-    for p, r in zip(params["blocks"], rngs):
-        x = block(p, x, r)
+    rngs = jax.random.split(rng, cfg.depth) if rng is not None else None
+    x = _run_blocks(params["blocks"], x, rngs, cfg, train, blocks_runner)
     x = L.layer_norm(params["ln"], x)
     pix = jnp.tanh(L.dense(params["to_pixels"], x))
     return unpatchify(pix, cfg.patch_size, cfg.image_size, cfg.channels), {}
@@ -210,6 +224,7 @@ def discriminator_init(key, cfg: V2Config, dtype=jnp.float32) -> Dict[str, Any]:
 
 
 def discriminator_apply(variables, images, cfg: V2Config, *, rng=None, train=False,
-                        update_state: bool = False):
-    logits = vit_apply(variables["params"], images, cfg, rng=rng, train=train)
+                        update_state: bool = False, blocks_runner=None):
+    logits = vit_apply(variables["params"], images, cfg, rng=rng, train=train,
+                       blocks_runner=blocks_runner)
     return logits[:, 0], {}

@@ -6,3 +6,8 @@ from vitgan_tpu.parallel.mesh import (  # noqa: F401
     shard_pytree_replicated,
     initialize_distributed,
 )
+from vitgan_tpu.parallel.pipeline import (  # noqa: F401
+    pipeline_blocks,
+    pp_bundle,
+    stack_blocks,
+)

@@ -1,0 +1,226 @@
+"""Pipeline parallelism: GPipe schedule over a ``pipe`` mesh axis.
+
+The reference is single-device and its models fit one chip with room to spare
+(SURVEY §2.5 judges PP unnecessary at reference scale), so this module is the
+scale-ready path for deeper presets: it shards the transformer BLOCK STACK —
+the repeated, homogeneous middle of every ViT in the zoo — across a mesh axis
+and streams microbatches through the stages.
+
+TPU-native design (no torch analog to port):
+
+- Each device holds ``depth / n_stages`` blocks, their params stacked on a
+  leading axis that is sharded over ``pipe`` — HBM for block params scales as
+  O(depth / stages).
+- The schedule is plain GPipe expressed as data flow: a ``lax.scan`` over
+  ``microbatches + stages - 1`` ticks; at every tick each device applies its
+  stage to its current activation and rotates the result one hop around the
+  ring with ``lax.ppermute`` (an XLA collective-permute riding ICI).  Stage 0
+  injects a fresh microbatch each tick; the last stage collects into an
+  output buffer.  There is no hand-written send/recv state machine — SPMD +
+  masked selects express the whole pipeline.
+- It is **differentiable end-to-end**: ``ppermute`` transposes to the inverse
+  ring hop, so ``jax.grad`` of a pipelined forward IS the reverse pipeline —
+  the backward schedule is derived by AD, not hand-scheduled.
+- Bubble fraction is the GPipe ``(S-1)/(M+S-1)``; raise ``microbatches`` to
+  amortize.  Within a stage the blocks run under a ``lax.scan`` over the
+  stacked params, so compile time is O(1) in depth.
+
+Numerics match the sequential block loop exactly — same ops in the same
+order per microbatch; only the batch is split into microbatches, which is
+invisible to per-sample ops (everything in these blocks is batch-pointwise).
+Validated in tests/test_pipeline_parallel.py on the 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def stack_blocks(blocks: Sequence[Any]):
+    """List of per-block param pytrees -> one pytree with a leading block axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def pipeline_blocks(
+    stacked_blocks,
+    x: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    axis: str = "pipe",
+    microbatches: int,
+    block_fn: Callable[..., jnp.ndarray],
+    rngs: Optional[jnp.ndarray] = None,
+    dp_axis: Optional[str] = None,
+) -> jnp.ndarray:
+    """Apply a stacked block sequence to ``x`` with a GPipe schedule.
+
+    Args:
+      stacked_blocks: pytree whose leaves have leading dim ``depth`` (from
+        :func:`stack_blocks`); sharded over ``axis`` (depth % stages == 0).
+      x: (B, ...) activations.  B must divide by ``microbatches`` (per data
+        shard when ``dp_axis`` is given).
+      mesh: mesh containing ``axis`` (and ``dp_axis`` if used).
+      microbatches: GPipe microbatch count M.
+      block_fn: ``block_fn(block_params, h)`` or, when ``rngs`` is given,
+        ``block_fn(block_params, h, rng)``; must preserve ``h.shape``/dtype.
+      rngs: optional (depth, microbatches) PRNG keys (dropout etc.).  When
+        ``dp_axis`` is set, keys are folded with the data-shard index so
+        masks decorrelate across data shards.
+      dp_axis: optional data-parallel mesh axis; x's batch dim is then
+        sharded over it (composes DP x PP on one mesh).
+
+    Returns (B, ...) with the same sharding as ``x``: equal to applying the
+    blocks sequentially.
+    """
+    n_stages = mesh.shape[axis]
+    depth = jax.tree.leaves(stacked_blocks)[0].shape[0]
+    if depth % n_stages != 0:
+        raise ValueError(f"depth {depth} not divisible by pipeline stages {n_stages}")
+    n_dp = mesh.shape[dp_axis] if dp_axis else 1
+    local_b = x.shape[0] // n_dp
+    if x.shape[0] % n_dp != 0:
+        raise ValueError(f"batch {x.shape[0]} not divisible by data axis {n_dp}")
+    if local_b % microbatches != 0:
+        raise ValueError(
+            f"local batch {local_b} not divisible by microbatches {microbatches}")
+    if rngs is not None and tuple(rngs.shape[:2]) != (depth, microbatches):
+        raise ValueError(
+            f"rngs shape {rngs.shape} != (depth={depth}, microbatches={microbatches}, ...)")
+
+    m = microbatches
+    perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+    x_spec = P(dp_axis, *([None] * (x.ndim - 1)))
+    blk_spec = P(axis)
+    rng_specs = (P(axis),) if rngs is not None else ()
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(blk_spec, x_spec) + rng_specs,
+             out_specs=x_spec, check_vma=False)
+    def inner(blocks_l, x_l, *rngs_l):
+        stage = jax.lax.axis_index(axis)
+        mb = x_l.shape[0] // m
+        mb_x = x_l.reshape((m, mb) + x_l.shape[1:])
+        if rngs_l:
+            keys_l = rngs_l[0]  # (blocks_per_stage, M)
+            if dp_axis:
+                didx = jax.lax.axis_index(dp_axis)
+                keys_l = jax.vmap(jax.vmap(lambda kk: jax.random.fold_in(kk, didx)))(keys_l)
+
+        def run_stage(h, mb_idx):
+            """This device's blocks, sequentially, via scan over stacked params."""
+            if rngs_l:
+                def body(h, blk_and_key):
+                    blk, kk = blk_and_key
+                    return block_fn(blk, h, kk), None
+                h, _ = jax.lax.scan(body, h, (blocks_l, keys_l[:, mb_idx]))
+            else:
+                def body(h, blk):
+                    return block_fn(blk, h), None
+                h, _ = jax.lax.scan(body, h, blocks_l)
+            return h
+
+        def tick(carry, t):
+            state, outbuf = carry
+            # stage 0 consumes microbatch t (clipped: past M the value is
+            # masked garbage that never reaches the output); other stages
+            # consume what the previous stage sent last tick.
+            inj = jax.lax.dynamic_index_in_dim(mb_x, jnp.clip(t, 0, m - 1), 0,
+                                               keepdims=False)
+            inp = jnp.where(stage == 0, inj, state)
+            mb_idx = jnp.clip(t - stage, 0, m - 1)  # which microbatch this stage holds
+            out = run_stage(inp, mb_idx)
+            # last stage finished microbatch t-(S-1): write it out when valid.
+            widx = t - (n_stages - 1)
+            upd = jax.lax.dynamic_update_index_in_dim(
+                outbuf, out, jnp.clip(widx, 0, m - 1), 0)
+            valid = jnp.logical_and(stage == n_stages - 1, widx >= 0)
+            outbuf = jnp.where(valid, upd, outbuf)
+            state = jax.lax.ppermute(out, axis, perm) if n_stages > 1 else out
+            return (state, outbuf), None
+
+        state0 = jnp.zeros((mb,) + x_l.shape[1:], x_l.dtype)
+        outbuf0 = jnp.zeros((m, mb) + x_l.shape[1:], x_l.dtype)
+        (_, outbuf), _ = jax.lax.scan(tick, (state0, outbuf0),
+                                      jnp.arange(m + n_stages - 1))
+        # Only the last stage holds real outputs; psum over the pipe axis
+        # broadcasts them to every stage so the result leaves replicated on
+        # ``axis`` (matching out_specs, which doesn't mention it).
+        if n_stages > 1:
+            outbuf = jax.lax.psum(
+                jnp.where(stage == n_stages - 1, outbuf, jnp.zeros_like(outbuf)), axis)
+        return outbuf.reshape(x_l.shape)
+
+    args = (stacked_blocks, x) + ((rngs,) if rngs is not None else ())
+    return inner(*args)
+
+
+# ---------------------------------------------------------------------------
+# v2 integration: a pipelined block runner for the ViT encoder stacks
+# ---------------------------------------------------------------------------
+
+
+def make_pp_block_runner(cfg, *, mesh: Mesh, axis: str = "pipe",
+                         microbatches: int, train: bool = False,
+                         dp_axis: Optional[str] = None):
+    """A ``blocks_runner`` for models.vitgan_v2 that pipelines the stack.
+
+    Returns ``runner(blocks: list, x, rngs: list | None) -> x`` — the same
+    contract as the default sequential loop in ``vitgan_v2.vit_encode`` /
+    ``generator_apply``, so it drops into either via their ``blocks_runner``
+    parameter and into the trainer via :func:`pp_bundle`.
+    """
+    from vitgan_tpu.models.vitgan_v2 import _encoder_apply
+
+    def runner(blocks: List[Any], x: jnp.ndarray, rngs) -> jnp.ndarray:
+        stacked = stack_blocks(blocks)
+        if rngs is None:
+            return pipeline_blocks(
+                stacked, x, mesh=mesh, axis=axis, microbatches=microbatches,
+                block_fn=lambda p, h: _encoder_apply(p, h, cfg, None, train),
+                dp_axis=dp_axis)
+        # one key per (block, microbatch): split each block key over M
+        keys = jnp.stack([jax.random.split(r, microbatches) for r in rngs])
+        return pipeline_blocks(
+            stacked, x, mesh=mesh, axis=axis, microbatches=microbatches,
+            block_fn=lambda p, h, kk: _encoder_apply(p, h, cfg, kk, train),
+            rngs=keys, dp_axis=dp_axis)
+
+    return runner
+
+
+def pp_bundle(gan, cfg, *, mesh: Mesh, axis: str = "pipe", microbatches: int,
+              dp_axis: Optional[str] = None):
+    """Wrap a v2 GANBundle so G and D run their block stacks pipelined.
+
+    The param layout (list of blocks) is unchanged — checkpoints stay
+    interchangeable with the single-device path; stacking happens inside the
+    step and XLA shards the stacked leaves over ``axis`` per the shard_map
+    in_specs.
+    """
+    from dataclasses import replace as dc_replace
+
+    from vitgan_tpu.models.vitgan_v2 import discriminator_apply, generator_apply
+
+    mcfg = cfg.model
+
+    def g_apply(variables, z, rng=None, train=False):
+        runner = make_pp_block_runner(mcfg, mesh=mesh, axis=axis,
+                                      microbatches=microbatches, train=train,
+                                      dp_axis=dp_axis)
+        return generator_apply(variables, z, mcfg, rng=rng, train=train,
+                               blocks_runner=runner)
+
+    def d_apply(variables, images, rng=None, train=False, update_state=False):
+        runner = make_pp_block_runner(mcfg, mesh=mesh, axis=axis,
+                                      microbatches=microbatches, train=train,
+                                      dp_axis=dp_axis)
+        return discriminator_apply(variables, images, mcfg, rng=rng, train=train,
+                                   update_state=update_state, blocks_runner=runner)
+
+    return dc_replace(gan, generator_apply=g_apply, discriminator_apply=d_apply)
