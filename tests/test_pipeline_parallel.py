@@ -166,6 +166,70 @@ def test_v2_generator_pp_matches(pipe_mesh, rng):
                                rtol=2e-5, atol=2e-6)
 
 
+def _v1_pp_cfg():
+    from vitgan_tpu import config as C
+
+    cfg = C.smoke_config("v1")
+    return C.replace(cfg, **{"v1.generator.depth": 4,
+                             "v1.generator.transformer.attn_dropout": 0.0,
+                             "v1.generator.transformer.mlp_dropout": 0.0,
+                             "v1.discriminator.transformer.attn_dropout": 0.0,
+                             "v1.discriminator.transformer.mlp_dropout": 0.0,
+                             "runtime.compute_dtype": "float32",
+                             "runtime.donate_state": False})
+
+
+def test_v1_generator_pp_matches(pipe_mesh, rng):
+    """The (h, w) pytree carry: v1 SLN blocks pipelined match the loop."""
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.models.vitgan_v1 import generator_apply
+    from vitgan_tpu.parallel.pipeline import make_pp_v1_generator_runner
+
+    cfg = _v1_pp_cfg()
+    gan = build_gan(cfg)
+    g_vars = gan.generator_init(rng)
+    z = gan.sample_latent(jax.random.PRNGKey(11), 8)
+    want, _ = gan.generator_apply(g_vars, z)
+    runner = make_pp_v1_generator_runner(cfg.model.generator.transformer,
+                                         mesh=pipe_mesh, axis="pipe",
+                                         microbatches=2)
+    got, new_state = generator_apply(g_vars, z, cfg.model, blocks_runner=runner)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+    assert new_state["blocks"] == g_vars["state"]["blocks"]  # state-free pass-through
+
+
+def test_v1_pp_train_step_matches_sequential(pipe_mesh, rng):
+    """v1 pp_bundle pipelines G only (D carries ISR state); one alternating
+    update must reproduce the sequential losses."""
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.train import create_train_state, make_train_step
+
+    cfg = _v1_pp_cfg()
+    gan = build_gan(cfg)
+    ppg = pp_bundle(gan, cfg, mesh=pipe_mesh, axis="pipe", microbatches=2)
+    real = jax.random.uniform(jax.random.PRNGKey(5),
+                              (cfg.model.batch_size, cfg.model.image_size,
+                               cfg.model.image_size, cfg.model.channels),
+                              minval=-1.0, maxval=1.0)
+    _, m_seq = make_train_step(gan, cfg, donate=False)(
+        create_train_state(rng, gan, cfg), real)
+    _, m_pp = make_train_step(ppg, cfg, donate=False)(
+        create_train_state(rng, gan, cfg), real)
+    for key in ("d_loss", "g_loss"):
+        np.testing.assert_allclose(float(m_pp[key]), float(m_seq[key]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_pp_bundle_rejects_unsupported_family(pipe_mesh):
+    from vitgan_tpu import config as C
+    from vitgan_tpu.models import build_gan
+
+    cfg = C.smoke_config("mlp")
+    with pytest.raises(ValueError, match="pipeline parallelism supports"):
+        pp_bundle(build_gan(cfg), cfg, mesh=pipe_mesh, microbatches=2)
+
+
 def test_pp_train_step_matches_sequential(pipe_mesh, rng):
     """One full alternating G/D update with the block stacks pipelined gives
     the same losses as the single-device step (dropout off, f32)."""

@@ -116,19 +116,29 @@ def generator_init(key, cfg: V1Config, dtype=jnp.float32) -> Dict[str, Any]:
 
 
 def generator_apply(variables, z: jnp.ndarray, cfg: V1Config, *,
-                    rng: Optional[jax.Array] = None, train: bool = False
-                    ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
-    """z (B, latent) -> images (B, H, W, C) in [-1, 1] (ref:src/v1/generator.py:58-68)."""
+                    rng: Optional[jax.Array] = None, train: bool = False,
+                    blocks_runner=None) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """z (B, latent) -> images (B, H, W, C) in [-1, 1] (ref:src/v1/generator.py:58-68).
+
+    ``blocks_runner`` (parallel.pipeline) replaces the sequential SLN-block
+    loop with a pipelined one; generator blocks are state-free (no spectral
+    rescaling), so the state passes through unchanged on that path.
+    """
     params, state = variables["params"], variables["state"]
     g = cfg.generator
     n_tokens = cfg.image_size
     w = L.mlp(params["mapping"], z).reshape(-1, n_tokens, g.hidden_size)
     h = jnp.broadcast_to(params["embedding"].astype(w.dtype), w.shape)
-    rngs = jax.random.split(rng, g.depth) if rng is not None else [None] * g.depth
-    new_blocks = []
-    for p, s, r in zip(params["blocks"], state["blocks"], rngs):
-        h, ns = _sln_transformer_block(p, s, h, w, g.transformer, rng=r, train=train)
-        new_blocks.append(ns)
+    rngs = jax.random.split(rng, g.depth) if rng is not None else None
+    if blocks_runner is not None:
+        h = blocks_runner(params["blocks"], (h, w), rngs)
+        new_blocks = state["blocks"]
+    else:
+        rng_list = rngs if rngs is not None else [None] * g.depth
+        new_blocks = []
+        for p, s, r in zip(params["blocks"], state["blocks"], rng_list):
+            h, ns = _sln_transformer_block(p, s, h, w, g.transformer, rng=r, train=train)
+            new_blocks.append(ns)
     tokens = L.sln(params["sln"], h, w)
     y = L.siren(params["siren1"], tokens, g.siren.omega_0)
     y = L.siren(params["siren2"], y, g.siren.omega_0)

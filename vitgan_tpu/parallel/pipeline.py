@@ -24,6 +24,9 @@ TPU-native design (no torch analog to port):
 - Bubble fraction is the GPipe ``(S-1)/(M+S-1)``; raise ``microbatches`` to
   amortize.  Within a stage the blocks run under a ``lax.scan`` over the
   stacked params, so compile time is O(1) in depth.
+- Activations may be any PYTREE of arrays sharing the batch dim — the v1
+  generator pipelines its ``(h, w)`` pair (the style vector rides the ring
+  unchanged), the v2 stacks a single token array.
 
 Numerics match the sequential block loop exactly — same ops in the same
 order per microbatch; only the batch is split into microbatches, which is
@@ -49,43 +52,49 @@ def stack_blocks(blocks: Sequence[Any]):
 
 def pipeline_blocks(
     stacked_blocks,
-    x: jnp.ndarray,
+    x,
     *,
     mesh: Mesh,
     axis: str = "pipe",
     microbatches: int,
-    block_fn: Callable[..., jnp.ndarray],
+    block_fn: Callable[..., Any],
     rngs: Optional[jnp.ndarray] = None,
     dp_axis: Optional[str] = None,
-) -> jnp.ndarray:
+):
     """Apply a stacked block sequence to ``x`` with a GPipe schedule.
 
     Args:
       stacked_blocks: pytree whose leaves have leading dim ``depth`` (from
         :func:`stack_blocks`); sharded over ``axis`` (depth % stages == 0).
-      x: (B, ...) activations.  B must divide by ``microbatches`` (per data
-        shard when ``dp_axis`` is given).
+      x: activations — an array or any pytree of arrays sharing a leading
+        batch dim B.  B must divide by ``microbatches`` (per data shard when
+        ``dp_axis`` is given).
       mesh: mesh containing ``axis`` (and ``dp_axis`` if used).
       microbatches: GPipe microbatch count M.
       block_fn: ``block_fn(block_params, h)`` or, when ``rngs`` is given,
-        ``block_fn(block_params, h, rng)``; must preserve ``h.shape``/dtype.
+        ``block_fn(block_params, h, rng)``; must preserve ``h``'s pytree
+        structure, shapes and dtypes.
       rngs: optional (depth, microbatches) PRNG keys (dropout etc.).  When
         ``dp_axis`` is set, keys are folded with the data-shard index so
         masks decorrelate across data shards.
       dp_axis: optional data-parallel mesh axis; x's batch dim is then
         sharded over it (composes DP x PP on one mesh).
 
-    Returns (B, ...) with the same sharding as ``x``: equal to applying the
-    blocks sequentially.
+    Returns activations with the same pytree structure and sharding as ``x``:
+    equal to applying the blocks sequentially.
     """
     n_stages = mesh.shape[axis]
     depth = jax.tree.leaves(stacked_blocks)[0].shape[0]
     if depth % n_stages != 0:
         raise ValueError(f"depth {depth} not divisible by pipeline stages {n_stages}")
+    x_leaves = jax.tree.leaves(x)
+    batch = x_leaves[0].shape[0]
+    if any(leaf.shape[0] != batch for leaf in x_leaves):
+        raise ValueError("all activation leaves must share the leading batch dim")
     n_dp = mesh.shape[dp_axis] if dp_axis else 1
-    local_b = x.shape[0] // n_dp
-    if x.shape[0] % n_dp != 0:
-        raise ValueError(f"batch {x.shape[0]} not divisible by data axis {n_dp}")
+    local_b = batch // n_dp
+    if batch % n_dp != 0:
+        raise ValueError(f"batch {batch} not divisible by data axis {n_dp}")
     if local_b % microbatches != 0:
         raise ValueError(
             f"local batch {local_b} not divisible by microbatches {microbatches}")
@@ -95,17 +104,18 @@ def pipeline_blocks(
 
     m = microbatches
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
-    x_spec = P(dp_axis, *([None] * (x.ndim - 1)))
+    x_spec = jax.tree.map(lambda _: P(dp_axis), x)  # batch dim only; rest replicated
     blk_spec = P(axis)
     rng_specs = (P(axis),) if rngs is not None else ()
+    tmap = jax.tree.map
 
     @partial(shard_map, mesh=mesh,
              in_specs=(blk_spec, x_spec) + rng_specs,
              out_specs=x_spec, check_vma=False)
     def inner(blocks_l, x_l, *rngs_l):
         stage = jax.lax.axis_index(axis)
-        mb = x_l.shape[0] // m
-        mb_x = x_l.reshape((m, mb) + x_l.shape[1:])
+        mb = jax.tree.leaves(x_l)[0].shape[0] // m
+        mb_x = tmap(lambda a: a.reshape((m, mb) + a.shape[1:]), x_l)
         if rngs_l:
             keys_l = rngs_l[0]  # (blocks_per_stage, M)
             if dp_axis:
@@ -130,39 +140,52 @@ def pipeline_blocks(
             # stage 0 consumes microbatch t (clipped: past M the value is
             # masked garbage that never reaches the output); other stages
             # consume what the previous stage sent last tick.
-            inj = jax.lax.dynamic_index_in_dim(mb_x, jnp.clip(t, 0, m - 1), 0,
-                                               keepdims=False)
-            inp = jnp.where(stage == 0, inj, state)
+            ti = jnp.clip(t, 0, m - 1)
+            inj = tmap(lambda a: jax.lax.dynamic_index_in_dim(a, ti, 0,
+                                                              keepdims=False), mb_x)
+            inp = tmap(lambda i, s: jnp.where(stage == 0, i, s), inj, state)
             mb_idx = jnp.clip(t - stage, 0, m - 1)  # which microbatch this stage holds
             out = run_stage(inp, mb_idx)
             # last stage finished microbatch t-(S-1): write it out when valid.
             widx = t - (n_stages - 1)
-            upd = jax.lax.dynamic_update_index_in_dim(
-                outbuf, out, jnp.clip(widx, 0, m - 1), 0)
+            wi = jnp.clip(widx, 0, m - 1)
             valid = jnp.logical_and(stage == n_stages - 1, widx >= 0)
-            outbuf = jnp.where(valid, upd, outbuf)
-            state = jax.lax.ppermute(out, axis, perm) if n_stages > 1 else out
+            outbuf = tmap(
+                lambda buf, o: jnp.where(
+                    valid, jax.lax.dynamic_update_index_in_dim(buf, o, wi, 0), buf),
+                outbuf, out)
+            if n_stages > 1:
+                state = tmap(lambda o: jax.lax.ppermute(o, axis, perm), out)
+            else:
+                state = out
             return (state, outbuf), None
 
-        state0 = jnp.zeros((mb,) + x_l.shape[1:], x_l.dtype)
-        outbuf0 = jnp.zeros((m, mb) + x_l.shape[1:], x_l.dtype)
+        state0 = tmap(lambda a: jnp.zeros((mb,) + a.shape[2:], a.dtype), mb_x)
+        outbuf0 = tmap(lambda a: jnp.zeros_like(a), mb_x)
         (_, outbuf), _ = jax.lax.scan(tick, (state0, outbuf0),
                                       jnp.arange(m + n_stages - 1))
         # Only the last stage holds real outputs; psum over the pipe axis
         # broadcasts them to every stage so the result leaves replicated on
         # ``axis`` (matching out_specs, which doesn't mention it).
         if n_stages > 1:
-            outbuf = jax.lax.psum(
-                jnp.where(stage == n_stages - 1, outbuf, jnp.zeros_like(outbuf)), axis)
-        return outbuf.reshape(x_l.shape)
+            outbuf = tmap(
+                lambda buf: jax.lax.psum(
+                    jnp.where(stage == n_stages - 1, buf, jnp.zeros_like(buf)), axis),
+                outbuf)
+        return tmap(lambda buf, a: buf.reshape(a.shape), outbuf, x_l)
 
     args = (stacked_blocks, x) + ((rngs,) if rngs is not None else ())
     return inner(*args)
 
 
 # ---------------------------------------------------------------------------
-# v2 integration: a pipelined block runner for the ViT encoder stacks
+# Model integration: pipelined block runners for the encoder stacks
 # ---------------------------------------------------------------------------
+
+
+def _split_per_block_keys(rngs, microbatches: int):
+    """List of per-block keys -> (depth, M) key array (one per microbatch)."""
+    return jnp.stack([jax.random.split(r, microbatches) for r in rngs])
 
 
 def make_pp_block_runner(cfg, *, mesh: Mesh, axis: str = "pipe",
@@ -184,43 +207,99 @@ def make_pp_block_runner(cfg, *, mesh: Mesh, axis: str = "pipe",
                 stacked, x, mesh=mesh, axis=axis, microbatches=microbatches,
                 block_fn=lambda p, h: _encoder_apply(p, h, cfg, None, train),
                 dp_axis=dp_axis)
-        # one key per (block, microbatch): split each block key over M
-        keys = jnp.stack([jax.random.split(r, microbatches) for r in rngs])
         return pipeline_blocks(
             stacked, x, mesh=mesh, axis=axis, microbatches=microbatches,
             block_fn=lambda p, h, kk: _encoder_apply(p, h, cfg, kk, train),
-            rngs=keys, dp_axis=dp_axis)
+            rngs=_split_per_block_keys(rngs, microbatches), dp_axis=dp_axis)
+
+    return runner
+
+
+def make_pp_v1_generator_runner(tcfg, *, mesh: Mesh, axis: str = "pipe",
+                                microbatches: int, train: bool = False,
+                                dp_axis: Optional[str] = None):
+    """A ``blocks_runner`` for the v1 SLN generator stack.
+
+    The v1 blocks thread ``(h, w)`` — the style vector ``w`` enters every SLN
+    unchanged (ref:src/v1/transformer.py:85-88) — so the activation pytree is
+    the pair and ``w`` rides the ring alongside ``h``.  Generator blocks are
+    state-free (no spectral rescaling, ref:src/v1/generator.py:28-38), which
+    is what makes the stack pipelineable without a state side-channel.
+
+    Contract: ``runner(blocks, (h, w), rngs) -> h_out``.
+    """
+    from vitgan_tpu.models.vitgan_v1 import _sln_transformer_block
+
+    empty_state = {"msha": {}}
+
+    def runner(blocks: List[Any], hw, rngs):
+        stacked = stack_blocks(blocks)
+
+        def fn(p, hw, kk=None):
+            h, w = hw
+            h2, _ = _sln_transformer_block(p, empty_state, h, w, tcfg,
+                                           rng=kk, train=train)
+            return (h2, w)
+
+        if rngs is None:
+            out = pipeline_blocks(stacked, hw, mesh=mesh, axis=axis,
+                                  microbatches=microbatches, block_fn=fn,
+                                  dp_axis=dp_axis)
+        else:
+            out = pipeline_blocks(stacked, hw, mesh=mesh, axis=axis,
+                                  microbatches=microbatches,
+                                  block_fn=lambda p, hw, kk: fn(p, hw, kk),
+                                  rngs=_split_per_block_keys(rngs, microbatches),
+                                  dp_axis=dp_axis)
+        return out[0]
 
     return runner
 
 
 def pp_bundle(gan, cfg, *, mesh: Mesh, axis: str = "pipe", microbatches: int,
               dp_axis: Optional[str] = None):
-    """Wrap a v2 GANBundle so G and D run their block stacks pipelined.
+    """Wrap a GANBundle so its ViT block stacks run pipelined.
 
-    The param layout (list of blocks) is unchanged — checkpoints stay
-    interchangeable with the single-device path; stacking happens inside the
-    step and XLA shards the stacked leaves over ``axis`` per the shard_map
-    in_specs.
+    Supports the v2 family (G and D stacks) and the v1 family (generator
+    stack; the v1 discriminator carries ISR power-iteration state through its
+    blocks and stays sequential).  The param layout (list of blocks) is
+    unchanged — checkpoints stay interchangeable with the single-device path;
+    stacking happens inside the step and XLA shards the stacked leaves over
+    ``axis`` per the shard_map in_specs.
     """
     from dataclasses import replace as dc_replace
 
-    from vitgan_tpu.models.vitgan_v2 import discriminator_apply, generator_apply
-
     mcfg = cfg.model
+    if gan.family == "v2":
+        from vitgan_tpu.models.vitgan_v2 import discriminator_apply, generator_apply
 
-    def g_apply(variables, z, rng=None, train=False):
-        runner = make_pp_block_runner(mcfg, mesh=mesh, axis=axis,
-                                      microbatches=microbatches, train=train,
-                                      dp_axis=dp_axis)
-        return generator_apply(variables, z, mcfg, rng=rng, train=train,
-                               blocks_runner=runner)
+        def g_apply(variables, z, rng=None, train=False):
+            runner = make_pp_block_runner(mcfg, mesh=mesh, axis=axis,
+                                          microbatches=microbatches, train=train,
+                                          dp_axis=dp_axis)
+            return generator_apply(variables, z, mcfg, rng=rng, train=train,
+                                   blocks_runner=runner)
 
-    def d_apply(variables, images, rng=None, train=False, update_state=False):
-        runner = make_pp_block_runner(mcfg, mesh=mesh, axis=axis,
-                                      microbatches=microbatches, train=train,
-                                      dp_axis=dp_axis)
-        return discriminator_apply(variables, images, mcfg, rng=rng, train=train,
-                                   update_state=update_state, blocks_runner=runner)
+        def d_apply(variables, images, rng=None, train=False, update_state=False):
+            runner = make_pp_block_runner(mcfg, mesh=mesh, axis=axis,
+                                          microbatches=microbatches, train=train,
+                                          dp_axis=dp_axis)
+            return discriminator_apply(variables, images, mcfg, rng=rng, train=train,
+                                       update_state=update_state,
+                                       blocks_runner=runner)
 
-    return dc_replace(gan, generator_apply=g_apply, discriminator_apply=d_apply)
+        return dc_replace(gan, generator_apply=g_apply, discriminator_apply=d_apply)
+
+    if gan.family == "v1":
+        from vitgan_tpu.models.vitgan_v1 import generator_apply
+
+        def g_apply(variables, z, rng=None, train=False):
+            runner = make_pp_v1_generator_runner(
+                mcfg.generator.transformer, mesh=mesh, axis=axis,
+                microbatches=microbatches, train=train, dp_axis=dp_axis)
+            return generator_apply(variables, z, mcfg, rng=rng, train=train,
+                                   blocks_runner=runner)
+
+        return dc_replace(gan, generator_apply=g_apply)
+
+    raise ValueError(f"pipeline parallelism supports v1/v2 ViT stacks, not {gan.family!r}")
