@@ -221,6 +221,34 @@ def test_v1_pp_train_step_matches_sequential(pipe_mesh, rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_trainer_pipeline_parallel(tmp_path):
+    """mesh.pipeline_parallel=4 stages the v2 stacks through the trainer's
+    whole surface: fit (dropout on, DP x PP mesh), eval grids, FID — odd
+    eval batches take the sequential fallback."""
+    from vitgan_tpu import config as C
+    from vitgan_tpu.train.trainer import Trainer
+
+    cfg = C.replace(
+        C.smoke_config("v2"),
+        **{"mesh.pipeline_parallel": 4, "v2.depth": 4,
+           "run.steps_per_epoch": 2, "run.fid_num_samples": 16,
+           "run.checkpoint_every_epochs": 0, "run_name": "pp"},
+    )
+    tr = Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
+    assert tr.mesh.shape == {"data": 2, "model": 1, "pipe": 4}
+    metrics = tr.fit(epochs=1)
+    assert np.isfinite(metrics["d_loss"]) and np.isfinite(metrics["fid"])
+
+
+def test_pp_bundle_rejects_indivisible_depth(pipe_mesh):
+    from vitgan_tpu import config as C
+    from vitgan_tpu.models import build_gan
+
+    cfg = C.replace(C.smoke_config("v2"), **{"v2.depth": 6})
+    with pytest.raises(ValueError, match="not divisible by\\s+pipeline stages"):
+        pp_bundle(build_gan(cfg), cfg, mesh=pipe_mesh, microbatches=2)
+
+
 def test_pp_bundle_rejects_unsupported_family(pipe_mesh):
     from vitgan_tpu import config as C
     from vitgan_tpu.models import build_gan

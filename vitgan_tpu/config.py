@@ -239,11 +239,18 @@ class MLPGANConfig:
 
 @dataclass(frozen=True)
 class MeshConfig:
-    """Device mesh layout.  ``data`` is the DP axis; ``model`` is reserved for TP."""
+    """Device mesh layout.  ``data`` is the DP axis; ``model`` is reserved for TP;
+    ``pipe`` (present only when ``pipeline_parallel > 1``) stages the
+    transformer block stacks as a GPipe schedule (parallel/pipeline.py)."""
 
     data_axis: str = "data"
     model_axis: str = "model"
     model_parallel: int = 1  # number of devices on the model axis
+    pipe_axis: str = "pipe"
+    pipeline_parallel: int = 1  # number of pipeline stages (v1/v2 families)
+    # GPipe microbatches per step; bubble fraction = (S-1)/(M+S-1).  Batches
+    # that don't divide (per data shard) fall back to the sequential stack.
+    pipeline_microbatches: int = 2
 
 
 @dataclass(frozen=True)

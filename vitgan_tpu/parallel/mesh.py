@@ -55,8 +55,13 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     mp = max(1, cfg.model_parallel)
-    if n % mp != 0:
-        raise ValueError(f"{n} devices not divisible by model_parallel={mp}")
+    pp = max(1, getattr(cfg, "pipeline_parallel", 1))
+    if n % (mp * pp) != 0:
+        raise ValueError(
+            f"{n} devices not divisible by model_parallel={mp} x pipeline_parallel={pp}")
+    if pp > 1:
+        arr = np.array(devices).reshape(n // (mp * pp), mp, pp)
+        return Mesh(arr, axis_names=(cfg.data_axis, cfg.model_axis, cfg.pipe_axis))
     arr = np.array(devices).reshape(n // mp, mp)
     return Mesh(arr, axis_names=(cfg.data_axis, cfg.model_axis))
 

@@ -188,6 +188,19 @@ def _split_per_block_keys(rngs, microbatches: int):
     return jnp.stack([jax.random.split(r, microbatches) for r in rngs])
 
 
+def _pipelineable_batch(x, mesh: Mesh, microbatches: int,
+                        dp_axis: Optional[str]) -> bool:
+    """True when x's batch divides into microbatches (per data shard).
+
+    Eval paths call the wrapped applies with arbitrary batch sizes (sample
+    grids, FID chunks, partial last batches); those fall back to the
+    sequential stack — numerically identical (parity-tested), just unstaged.
+    """
+    batch = jax.tree.leaves(x)[0].shape[0]
+    n_dp = mesh.shape[dp_axis] if dp_axis else 1
+    return batch % n_dp == 0 and (batch // n_dp) % microbatches == 0
+
+
 def make_pp_block_runner(cfg, *, mesh: Mesh, axis: str = "pipe",
                          microbatches: int, train: bool = False,
                          dp_axis: Optional[str] = None):
@@ -198,9 +211,11 @@ def make_pp_block_runner(cfg, *, mesh: Mesh, axis: str = "pipe",
     ``generator_apply``, so it drops into either via their ``blocks_runner``
     parameter and into the trainer via :func:`pp_bundle`.
     """
-    from vitgan_tpu.models.vitgan_v2 import _encoder_apply
+    from vitgan_tpu.models.vitgan_v2 import _encoder_apply, _run_blocks
 
     def runner(blocks: List[Any], x: jnp.ndarray, rngs) -> jnp.ndarray:
+        if not _pipelineable_batch(x, mesh, microbatches, dp_axis):
+            return _run_blocks(blocks, x, rngs, cfg, train, None)
         stacked = stack_blocks(blocks)
         if rngs is None:
             return pipeline_blocks(
@@ -233,13 +248,18 @@ def make_pp_v1_generator_runner(tcfg, *, mesh: Mesh, axis: str = "pipe",
     empty_state = {"msha": {}}
 
     def runner(blocks: List[Any], hw, rngs):
-        stacked = stack_blocks(blocks)
-
         def fn(p, hw, kk=None):
             h, w = hw
             h2, _ = _sln_transformer_block(p, empty_state, h, w, tcfg,
                                            rng=kk, train=train)
             return (h2, w)
+
+        if not _pipelineable_batch(hw, mesh, microbatches, dp_axis):
+            h, w = hw
+            for p, r in zip(blocks, rngs if rngs is not None else [None] * len(blocks)):
+                h, w = fn(p, (h, w), r)
+            return h
+        stacked = stack_blocks(blocks)
 
         if rngs is None:
             out = pipeline_blocks(stacked, hw, mesh=mesh, axis=axis,
@@ -270,6 +290,13 @@ def pp_bundle(gan, cfg, *, mesh: Mesh, axis: str = "pipe", microbatches: int,
     from dataclasses import replace as dc_replace
 
     mcfg = cfg.model
+    stages = mesh.shape[axis]
+    depth = (mcfg.depth if gan.family == "v2"
+             else mcfg.generator.depth if gan.family == "v1" else None)
+    if depth is not None and depth % stages != 0:
+        raise ValueError(
+            f"{gan.family} block depth {depth} not divisible by "
+            f"pipeline stages {stages} (axis {axis!r})")
     if gan.family == "v2":
         from vitgan_tpu.models.vitgan_v2 import discriminator_apply, generator_apply
 

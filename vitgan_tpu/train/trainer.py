@@ -54,6 +54,18 @@ class Trainer:
         self.metrics = MetricLogger(self.dirs.logs)
         self.ckpts = CheckpointManager(self.dirs.checkpoints, keep=cfg.run.keep_checkpoints)
         self.gan = build_gan(cfg)
+        if cfg.mesh.pipeline_parallel > 1:
+            # Stage the ViT block stacks over the mesh's pipe axis (GPipe,
+            # parallel/pipeline.py); eval-path batches that don't divide the
+            # microbatch count fall back to the sequential stack.
+            from vitgan_tpu.parallel.pipeline import pp_bundle
+
+            dp = (cfg.mesh.data_axis
+                  if self.mesh.shape.get(cfg.mesh.data_axis, 1) > 1 else None)
+            self.gan = pp_bundle(self.gan, cfg, mesh=self.mesh,
+                                 axis=cfg.mesh.pipe_axis,
+                                 microbatches=cfg.mesh.pipeline_microbatches,
+                                 dp_axis=dp)
         m = cfg.model
         self.pipeline = make_pipeline(
             cfg.data, m.batch_size, m.image_size, m.channels,
