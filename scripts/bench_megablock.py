@@ -1,0 +1,72 @@
+"""A/B: fused megablock kernel vs the XLA composition, encoder block forward.
+
+The v2-32px op profile left exactly one schedule-level hypothesis open
+(BENCHMARKS.md "Op-level profile"): whole-transformer-block megafusion.  This
+measures it directly on the chip — one v2 encoder block forward, XLA
+(`_encoder_apply`, dropout-free) vs the single-kernel Pallas megablock
+(`ops/fused_block.py`) — at the flagship shapes:
+
+  - G fwd   : B=64,  N=65, E=128, H=4, hidden=256
+  - D concat: B=128, same (the step's real+fake concatenated D forward)
+  - deit64  : B=64,  N=257, E=192, H=6 (BASELINE config #4 discriminator)
+
+Timing: sync_timeit_scalar (4-byte readback; see utils/timing.py and the
+axon tunnel notes in BENCHMARKS.md).  Usage: SCRATCH=/root/scratch python
+scripts/bench_megablock.py
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from vitgan_tpu.config import V2Config
+from vitgan_tpu.models.vitgan_v2 import _encoder_apply, _encoder_init
+from vitgan_tpu.ops.fused_block import fused_encoder_block
+from vitgan_tpu.utils.timing import sync_timeit_scalar
+
+CASES = [
+    ("v2_G_b64", dict(b=64, image_size=32, patch=4, embed=128, heads=4)),
+    ("v2_Dcat_b128", dict(b=128, image_size=32, patch=4, embed=128, heads=4)),
+    ("deit64_b64", dict(b=64, image_size=64, patch=4, embed=192, heads=6)),
+]
+
+
+def run_case(name, s, groups=(8, 16)):
+    cfg = V2Config(image_size=s["image_size"], patch_size=s["patch"],
+                   embed_dim=s["embed"], num_heads=s["heads"], mlp_ratio=2,
+                   dropout=0.0)
+    n = (cfg.image_size // cfg.patch_size) ** 2 + 1
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                          _encoder_init(jax.random.PRNGKey(0), cfg))
+    x = jax.random.normal(jax.random.PRNGKey(1), (s["b"], n, cfg.embed_dim),
+                          jnp.bfloat16)
+
+    xla_fn = jax.jit(lambda x, p: _encoder_apply(p, x, cfg, None, False))
+    t_xla = sync_timeit_scalar(xla_fn, x, params, iters=50, warmup=3)
+
+    best = None
+    for g in groups:
+        pl_fn = jax.jit(lambda x, p, g=g: fused_encoder_block(
+            x, p, num_heads=cfg.num_heads, group=g))
+        t = sync_timeit_scalar(pl_fn, x, params, iters=50, warmup=3)
+        if best is None or t < best[1]:
+            best = (g, t)
+    g, t_pl = best
+    res = {"case": name, "tokens": n, "embed": cfg.embed_dim,
+           "xla_us": round(t_xla * 1e6, 1),
+           "pallas_us": round(t_pl * 1e6, 1), "group": g,
+           "speedup": round(t_xla / t_pl, 3)}
+    print(json.dumps(res))
+    return res
+
+
+if __name__ == "__main__":
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    out = [run_case(n, s) for n, s in CASES]
+    with open("/tmp/megablock_ab.json", "w") as f:
+        json.dump(out, f, indent=1)

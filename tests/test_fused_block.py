@@ -1,0 +1,42 @@
+"""Megablock kernel parity: one fused v2 encoder block == the XLA composition."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vitgan_tpu.config import V2Config
+from vitgan_tpu.models.vitgan_v2 import _encoder_apply, _encoder_init
+from vitgan_tpu.ops.fused_block import fused_encoder_block
+
+
+@pytest.mark.parametrize("shape", [
+    # (batch, image/patch -> tokens via cfg, embed, heads, mlp_ratio)
+    dict(b=4, image_size=16, patch=4, embed=32, heads=2),     # padded E lane
+    dict(b=5, image_size=32, patch=4, embed=128, heads=4),    # v2 flagship shape (65 tokens w/ cls -> here 64)
+])
+def test_fused_block_matches_encoder(rng, shape):
+    cfg = V2Config(image_size=shape["image_size"], patch_size=shape["patch"],
+                   embed_dim=shape["embed"], num_heads=shape["heads"],
+                   mlp_ratio=2, dropout=0.0)
+    params = _encoder_init(rng, cfg)
+    n = (cfg.image_size // cfg.patch_size) ** 2 + 1  # CLS included
+    x = jax.random.normal(jax.random.PRNGKey(3), (shape["b"], n, cfg.embed_dim),
+                          jnp.float32)
+    want = _encoder_apply(params, x, cfg, None, False)
+    got = fused_encoder_block(x, params, num_heads=cfg.num_heads, group=4,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_block_group_padding(rng):
+    """Batch not divisible by the group: padded samples must not leak."""
+    cfg = V2Config(image_size=16, patch_size=4, embed_dim=32, num_heads=2,
+                   mlp_ratio=2, dropout=0.0)
+    params = _encoder_init(rng, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(9), (3, 17, 32), jnp.float32)
+    want = _encoder_apply(params, x, cfg, None, False)
+    got = fused_encoder_block(x, params, num_heads=2, group=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

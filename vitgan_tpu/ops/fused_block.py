@@ -1,0 +1,193 @@
+"""Pallas TPU megablock: one v2 encoder block forward in a single kernel.
+
+The v2-32px op profile (BENCHMARKS.md) shows the train step as a long tail of
+20-35us XLA fusions with no dominant op — the only remaining schedule-level
+lever at that scale is fusing a WHOLE transformer block so its intermediates
+(LN activations, qkv, attention scores, MLP hidden) never touch HBM.  This
+kernel computes the complete pre-LN encoder block of models/vitgan_v2._encoder_apply
+(ref:src/v2/modules.py:165-183 topology, dropout-free path):
+
+    a   = MHSA(LN1(x))          # dot scores / sqrt(head_dim), softmax, proj
+    x1  = x + a
+    out = x1 + fc2(gelu(fc1(LN2(x1))))
+
+per grid step for a group of samples: LN statistics and softmax on the VPU,
+all five matmuls (qkv, per-head scores, per-head PV, output proj, fc1/fc2) on
+the MXU, everything VMEM-resident.  Attention is computed per (sample, head)
+— at 65-token sequences the score matrices are tiny, the fusion (not MXU
+shape) is the point.  Numerics: float32 accumulation inside, erf-form GELU
+(the same in-kernel polynomial as ops/fused_mlp), key-side masking for padded
+tokens.
+
+Used for A/B measurement and forward-only paths; the training integration
+keeps the XLA/flash composition (see scripts/bench_megablock.py for the
+measured verdict).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vitgan_tpu.ops.attention import _ceil_to
+from vitgan_tpu.ops.fused_mlp import _gelu_exactish
+
+
+def _layernorm(x, scale, bias, d_real, eps):
+    """Row LayerNorm over the first ``d_real`` features (padding masked)."""
+    dp = x.shape[-1]
+    if d_real != dp:
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+        mask = (col < d_real).astype(jnp.float32)
+        x = x * mask
+        mean = jnp.sum(x, axis=-1, keepdims=True) / d_real
+        centered = (x - mean) * mask
+        var = jnp.sum(centered * centered, axis=-1, keepdims=True) / d_real
+    else:
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        centered = x - mean
+        var = jnp.mean(centered * centered, axis=-1, keepdims=True)
+    y = centered * jax.lax.rsqrt(var + eps)
+    y = y * scale + bias
+    if d_real != dp:
+        y = y * mask
+    return y
+
+
+def _kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+            ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+            attn_ref, *, n_real: int, e_real: int, num_heads: int, head_dim: int,
+            scale: float, eps: float):
+    gb, n_pad, e_pad = x_ref.shape
+    rows = gb * n_pad
+    x = x_ref[:].astype(jnp.float32).reshape(rows, e_pad)
+
+    # --- attention half: qkv projection on the MXU, per-(sample, head) scores
+    y = _layernorm(x, ln1s_ref[:].astype(jnp.float32), ln1b_ref[:].astype(jnp.float32),
+                   e_real, eps)
+    qkv = jnp.dot(y, wqkv_ref[:].astype(jnp.float32),
+                  preferred_element_type=jnp.float32)
+    qkv = qkv + bqkv_ref[:].astype(jnp.float32)  # (rows, 3*H*Dh [padded])
+    inv = 1.0 / math.sqrt(scale)
+    # zero the scratch: its padded columns are never written by the head loop
+    # and would otherwise inject uninitialized garbage into the projection
+    attn_ref[:] = jnp.zeros_like(attn_ref)
+    # key mask: padded tokens must not receive softmax mass
+    key_col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    key_mask = key_col < n_real
+
+    def one_sample(b, _):
+        base = b * n_pad
+        s_qkv = jax.lax.dynamic_slice(qkv, (base, 0), (n_pad, qkv.shape[1]))
+        for h in range(num_heads):
+            q = jax.lax.dynamic_slice(s_qkv, (0, h * head_dim), (n_pad, head_dim))
+            k = jax.lax.dynamic_slice(
+                s_qkv, (0, (num_heads + h) * head_dim), (n_pad, head_dim))
+            v = jax.lax.dynamic_slice(
+                s_qkv, (0, (2 * num_heads + h) * head_dim), (n_pad, head_dim))
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * inv
+            s = jnp.where(key_mask, s, -jnp.inf)
+            p = jax.nn.softmax(s, axis=-1)
+            o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+            attn_ref[pl.ds(base, n_pad), h * head_dim:(h + 1) * head_dim] = o
+        return 0
+
+    jax.lax.fori_loop(0, gb, one_sample, 0)
+
+    proj = jnp.dot(attn_ref[:], wout_ref[:].astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    x1 = x + proj + bout_ref[:].astype(jnp.float32)
+
+    # --- MLP half
+    y2 = _layernorm(x1, ln2s_ref[:].astype(jnp.float32), ln2b_ref[:].astype(jnp.float32),
+                    e_real, eps)
+    h1 = _gelu_exactish(
+        jnp.dot(y2, w1_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
+        + b1_ref[:].astype(jnp.float32))
+    out = x1 + jnp.dot(h1, w2_ref[:].astype(jnp.float32),
+                       preferred_element_type=jnp.float32) + b2_ref[:].astype(jnp.float32)
+    o_ref[:] = out.reshape(gb, n_pad, e_pad).astype(o_ref.dtype)
+
+
+def fused_encoder_block(x, params, *, num_heads: int, eps: float = 1e-5,
+                        group: int = 8, interpret: bool = False):
+    """x (B, N, E) -> one v2 encoder block forward (dropout-free).
+
+    ``params`` is a models/vitgan_v2._encoder_init dict: ln1/ln2 {scale,bias},
+    msha {qkv (3,H,E,Dh), qkv_b (3,H,Dh), out {w,b}}, fc1/fc2 {w,b}.
+    """
+    b, n, e = x.shape
+    qkv_w = params["msha"]["qkv"]
+    _, h, _, dh = qkv_w.shape
+    assert h == num_heads
+    hidden = params["fc1"]["w"].shape[-1]
+
+    n_pad = _ceil_to(n, 8)
+    e_pad = _ceil_to(e, 128)
+    hd_pad = _ceil_to(3 * h * dh, 128)
+    hidden_pad = _ceil_to(hidden, 128)
+    b_pad = _ceil_to(b, group)
+
+    # weights to kernel layout: (E, 3*H*Dh) with [q_h0..q_hH, k_h0.., v_h0..]
+    wqkv = qkv_w.transpose(2, 0, 1, 3).reshape(e, 3 * h * dh)
+    bqkv = params["msha"].get("qkv_b")
+    bqkv = (bqkv.reshape(3 * h * dh) if bqkv is not None
+            else jnp.zeros((3 * h * dh,), x.dtype))
+    wout, bout = params["msha"]["out"]["w"], params["msha"]["out"]["b"]
+
+    xp = jnp.pad(x, ((0, b_pad - b), (0, n_pad - n), (0, e_pad - e)))
+    pads = {
+        "ln1s": jnp.pad(params["ln1"]["scale"], (0, e_pad - e)).reshape(1, e_pad),
+        "ln1b": jnp.pad(params["ln1"]["bias"], (0, e_pad - e)).reshape(1, e_pad),
+        "wqkv": jnp.pad(wqkv, ((0, e_pad - e), (0, hd_pad - 3 * h * dh))),
+        "bqkv": jnp.pad(bqkv, (0, hd_pad - 3 * h * dh)).reshape(1, hd_pad),
+        "wout": jnp.pad(wout, ((0, _ceil_to(h * dh, 128) - h * dh), (0, e_pad - e))),
+        "bout": jnp.pad(bout, (0, e_pad - e)).reshape(1, e_pad),
+        "ln2s": jnp.pad(params["ln2"]["scale"], (0, e_pad - e)).reshape(1, e_pad),
+        "ln2b": jnp.pad(params["ln2"]["bias"], (0, e_pad - e)).reshape(1, e_pad),
+        "w1": jnp.pad(params["fc1"]["w"], ((0, e_pad - e), (0, hidden_pad - hidden))),
+        "b1": jnp.pad(params["fc1"]["b"], (0, hidden_pad - hidden)).reshape(1, hidden_pad),
+        "w2": jnp.pad(params["fc2"]["w"], ((0, hidden_pad - hidden), (0, e_pad - e))),
+        "b2": jnp.pad(params["fc2"]["b"], (0, e_pad - e)).reshape(1, e_pad),
+    }
+
+    kernel = functools.partial(
+        _kernel, n_real=n, e_real=e, num_heads=h, head_dim=dh,
+        scale=float(dh), eps=eps)
+    full = lambda g: (0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad, e_pad), x.dtype),
+        grid=(b_pad // group,),
+        in_specs=[
+            pl.BlockSpec((group, n_pad, e_pad), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_pad, hd_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ceil_to(h * dh, 128), e_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_pad, hidden_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden_pad, e_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e_pad), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((group, n_pad, e_pad), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((group * n_pad, _ceil_to(h * dh, 128)), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, pads["ln1s"], pads["ln1b"], pads["wqkv"], pads["bqkv"], pads["wout"],
+      pads["bout"], pads["ln2s"], pads["ln2b"], pads["w1"], pads["b1"],
+      pads["w2"], pads["b2"])
+    return out[:b, :n, :e]
