@@ -240,6 +240,40 @@ def test_trainer_pipeline_parallel(tmp_path):
     assert np.isfinite(metrics["d_loss"]) and np.isfinite(metrics["fid"])
 
 
+def test_train_batch_indivisible_fails_loud(pipe_mesh, rng):
+    """An indivisible TRAINING batch must raise, not silently un-pipeline."""
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.parallel.pipeline import make_pp_block_runner
+
+    cfg = _pp_cfg()
+    gan = build_gan(cfg)
+    g_vars = gan.generator_init(rng)
+    z = gan.sample_latent(jax.random.PRNGKey(7), 5)  # 5 % 2 microbatches != 0
+    runner = make_pp_block_runner(cfg.model, mesh=pipe_mesh, axis="pipe",
+                                  microbatches=2, train=True)
+    from vitgan_tpu.models.vitgan_v2 import generator_apply
+
+    with pytest.raises(ValueError, match="pipeline parallelism would silently"):
+        generator_apply(g_vars, z, cfg.model, rng=rng, train=True,
+                        blocks_runner=runner)
+    # the same batch in EVAL falls back to the sequential stack
+    got, _ = generator_apply(
+        g_vars, z, cfg.model,
+        blocks_runner=make_pp_block_runner(cfg.model, mesh=pipe_mesh,
+                                           axis="pipe", microbatches=2))
+    want, _ = gan.generator_apply(g_vars, z)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_mesh_rejects_pp_tp_combination():
+    from vitgan_tpu.config import MeshConfig
+    from vitgan_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="cannot be\\s+combined"):
+        make_mesh(MeshConfig(model_parallel=2, pipeline_parallel=2))
+
+
 def test_pp_bundle_rejects_indivisible_depth(pipe_mesh):
     from vitgan_tpu import config as C
     from vitgan_tpu.models import build_gan

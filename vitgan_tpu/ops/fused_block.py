@@ -125,7 +125,8 @@ def fused_encoder_block(x, params, *, num_heads: int, eps: float = 1e-5,
     b, n, e = x.shape
     qkv_w = params["msha"]["qkv"]
     _, h, _, dh = qkv_w.shape
-    assert h == num_heads
+    if h != num_heads:
+        raise ValueError(f"params carry {h} heads, num_heads={num_heads}")
     hidden = params["fc1"]["w"].shape[-1]
 
     n_pad = _ceil_to(n, 8)

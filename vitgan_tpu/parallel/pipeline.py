@@ -189,16 +189,25 @@ def _split_per_block_keys(rngs, microbatches: int):
 
 
 def _pipelineable_batch(x, mesh: Mesh, microbatches: int,
-                        dp_axis: Optional[str]) -> bool:
+                        dp_axis: Optional[str], train: bool) -> bool:
     """True when x's batch divides into microbatches (per data shard).
 
     Eval paths call the wrapped applies with arbitrary batch sizes (sample
     grids, FID chunks, partial last batches); those fall back to the
     sequential stack — numerically identical (parity-tested), just unstaged.
+    TRAINING batches are fixed by config, so an indivisible one there means
+    the user's PP setting would silently never engage — fail loud instead.
     """
     batch = jax.tree.leaves(x)[0].shape[0]
     n_dp = mesh.shape[dp_axis] if dp_axis else 1
-    return batch % n_dp == 0 and (batch // n_dp) % microbatches == 0
+    ok = batch % n_dp == 0 and (batch // n_dp) % microbatches == 0
+    if not ok and train:
+        raise ValueError(
+            f"training batch {batch} does not divide into "
+            f"{n_dp} data shard(s) x {microbatches} microbatches — "
+            f"pipeline parallelism would silently disable; adjust batch_size "
+            f"or mesh.pipeline_microbatches")
+    return ok
 
 
 def make_pp_block_runner(cfg, *, mesh: Mesh, axis: str = "pipe",
@@ -211,20 +220,25 @@ def make_pp_block_runner(cfg, *, mesh: Mesh, axis: str = "pipe",
     ``generator_apply``, so it drops into either via their ``blocks_runner``
     parameter and into the trainer via :func:`pp_bundle`.
     """
-    from vitgan_tpu.models.vitgan_v2 import _encoder_apply, _run_blocks
+    from vitgan_tpu.models.vitgan_v2 import (_encoder_apply, _maybe_remat,
+                                             _run_blocks)
 
     def runner(blocks: List[Any], x: jnp.ndarray, rngs) -> jnp.ndarray:
-        if not _pipelineable_batch(x, mesh, microbatches, dp_axis):
+        if not _pipelineable_batch(x, mesh, microbatches, dp_axis, train):
             return _run_blocks(blocks, x, rngs, cfg, train, None)
         stacked = stack_blocks(blocks)
+        # Same remat policy as the sequential loop: without it the per-tick
+        # scan would store every block's residuals and PP would cost the
+        # activation memory that remat presets (hires) rely on saving.
         if rngs is None:
+            block = _maybe_remat(lambda p, h: _encoder_apply(p, h, cfg, None, train))
             return pipeline_blocks(
                 stacked, x, mesh=mesh, axis=axis, microbatches=microbatches,
-                block_fn=lambda p, h: _encoder_apply(p, h, cfg, None, train),
-                dp_axis=dp_axis)
+                block_fn=block, dp_axis=dp_axis)
+        block = _maybe_remat(lambda p, h, kk: _encoder_apply(p, h, cfg, kk, train))
         return pipeline_blocks(
             stacked, x, mesh=mesh, axis=axis, microbatches=microbatches,
-            block_fn=lambda p, h, kk: _encoder_apply(p, h, cfg, kk, train),
+            block_fn=block,
             rngs=_split_per_block_keys(rngs, microbatches), dp_axis=dp_axis)
 
     return runner
@@ -254,7 +268,7 @@ def make_pp_v1_generator_runner(tcfg, *, mesh: Mesh, axis: str = "pipe",
                                            rng=kk, train=train)
             return (h2, w)
 
-        if not _pipelineable_batch(hw, mesh, microbatches, dp_axis):
+        if not _pipelineable_batch(hw, mesh, microbatches, dp_axis, train):
             h, w = hw
             for p, r in zip(blocks, rngs if rngs is not None else [None] * len(blocks)):
                 h, w = fn(p, (h, w), r)
