@@ -165,3 +165,23 @@ def test_fused_backward_parity_on_chip(mode):
     for a, b, name in zip(gf, gt, "qkv"):
         rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-9)
         assert rel < 1e-3, f"d{name} fused-vs-two-pass rel-norm err {rel:.5f} ({mode})"
+
+
+def test_fused_block_parity_on_chip():
+    """Megablock (whole v2 encoder block in one kernel) vs the XLA
+    composition, on Mosaic rather than the interpreter."""
+    from vitgan_tpu.config import V2Config
+    from vitgan_tpu.models.vitgan_v2 import _encoder_apply, _encoder_init
+    from vitgan_tpu.ops.fused_block import fused_encoder_block
+
+    cfg = V2Config(image_size=32, patch_size=4, embed_dim=128, num_heads=4,
+                   mlp_ratio=2, dropout=0.0)
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                          _encoder_init(jax.random.PRNGKey(0), cfg))
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 65, 128), jnp.bfloat16)
+    got = jax.jit(lambda x, p: fused_encoder_block(x, p, num_heads=4, group=8))(
+        x, params)
+    want = jax.jit(lambda x, p: _encoder_apply(p, x, cfg, None, False))(x, params)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=3e-2, rtol=3e-2)
