@@ -30,6 +30,52 @@ def test_fused_block_matches_encoder(rng, shape):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_fused_block_grads_match(rng):
+    """custom_vjp (recompute backward) == AD through the XLA composition."""
+    from vitgan_tpu.ops.fused_block import encoder_block_fused
+
+    cfg = V2Config(image_size=16, patch_size=4, embed_dim=32, num_heads=2,
+                   mlp_ratio=2, dropout=0.0)
+    params = _encoder_init(rng, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(5), (4, 17, 32), jnp.float32)
+    cot = jax.random.normal(jax.random.PRNGKey(6), (4, 17, 32), jnp.float32)
+
+    def loss_fused(x, p):
+        return jnp.sum(encoder_block_fused(x, p, 2, 1e-5, 4, True) * cot)
+
+    def loss_ref(x, p):
+        return jnp.sum(_encoder_apply(p, x, cfg, None, False) * cot)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_megablock_policy_routing(rng):
+    """runtime.megablock=on routes dropout-free blocks through the kernel;
+    train-with-dropout keeps the standard path (no in-kernel RNG)."""
+    from vitgan_tpu.ops.policy import set_policy
+
+    cfg = V2Config(image_size=16, patch_size=4, embed_dim=32, num_heads=2,
+                   mlp_ratio=2, dropout=0.1)
+    params = _encoder_init(rng, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(7), (4, 17, 32), jnp.float32)
+    want = _encoder_apply(params, x, cfg, None, False)
+    try:
+        set_policy(megablock="on")
+        got = _encoder_apply(params, x, cfg, None, False)  # eval: kernel path
+        # train with dropout: must still work (standard path) and differ by masks
+        r = jax.random.PRNGKey(8)
+        trained = _encoder_apply(params, x, cfg, r, True)
+    finally:
+        set_policy(megablock="off")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    assert np.isfinite(np.asarray(trained)).all()
+
+
 def test_fused_block_group_padding(rng):
     """Batch not divisible by the group: padded samples must not leak."""
     cfg = V2Config(image_size=16, patch_size=4, embed_dim=32, num_heads=2,

@@ -277,6 +277,10 @@ class RuntimeConfig:
     # vs 'two_pass' dq then dk/dv (7, with DMA-streaming variants); 'auto'
     # fuses within the VMEM budget (ops/attention.py).
     bwd_fusion: str = "auto"  # auto | fused | two_pass
+    # Route dropout-free v2 encoder blocks through the single-kernel Pallas
+    # megablock (ops/fused_block.py; backward = exact XLA recompute VJP).
+    # Opt-in — the measured verdict lives in BENCHMARKS.md.
+    megablock: str = "off"  # off | on
     # lax.scan unroll factor for the scanned multi-step train paths: copies of
     # the step body XLA may fuse across.  Measured A/B on v5e at v2 scale
     # (scripts/bench_unroll.py): 2 → +1.6% (≈noise, 2× compile), 4 → −4.6% —

@@ -107,7 +107,12 @@ def _encoder_apply(p, x, cfg: V2Config, rng, train):
     The MLP half routes through the fused Pallas LN+MLP kernel when the policy
     allows (residual applied after dropout, so the kernel runs residual-free).
     """
+    from vitgan_tpu.ops.fused_block import maybe_megablock
     from vitgan_tpu.ops.fused_mlp import dispatch_ln_mlp
+
+    fused = maybe_megablock(p, x, cfg, rng, train)  # opt-in single-kernel path
+    if fused is not None:
+        return fused
 
     r1, r2 = jax.random.split(rng) if rng is not None else (None, None)
     head_dim = cfg.embed_dim // cfg.num_heads

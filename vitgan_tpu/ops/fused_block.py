@@ -192,3 +192,61 @@ def fused_encoder_block(x, params, *, num_heads: int, eps: float = 1e-5,
       pads["bout"], pads["ln2s"], pads["ln2b"], pads["w1"], pads["b1"],
       pads["w2"], pads["b2"])
     return out[:b, :n, :e]
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper + policy routing
+# ---------------------------------------------------------------------------
+
+
+def _block_reference(x, params, num_heads: int, eps: float):
+    """Pure-XLA v2 block (dropout-free), the VJP recompute path — the same
+    math and internal-f32 discipline as models/vitgan_v2._encoder_apply."""
+    from vitgan_tpu.models import layers as L
+    from vitgan_tpu.ops.fused_mlp import _reference as mlp_reference
+
+    dh = params["msha"]["qkv"].shape[-1]
+    a, _ = L.mhsa(params["msha"], {}, L.layer_norm(params["ln1"], x, eps),
+                  score_mode="dot", scale=dh)
+    x1 = x + a
+    mlp = mlp_reference(x1, params["ln2"]["scale"], params["ln2"]["bias"],
+                        params["fc1"]["w"], params["fc1"]["b"],
+                        params["fc2"]["w"], params["fc2"]["b"],
+                        "gelu", eps, False)
+    return x1 + mlp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def encoder_block_fused(x, params, num_heads: int, eps: float = 1e-5,
+                        group: int = 8, interpret: bool = False):
+    """Differentiable megablock: Pallas forward, exact recompute backward."""
+    return fused_encoder_block(x, params, num_heads=num_heads, eps=eps,
+                               group=group, interpret=interpret)
+
+
+def _fwd(x, params, num_heads, eps, group, interpret):
+    out = encoder_block_fused(x, params, num_heads, eps, group, interpret)
+    return out, (x, params)
+
+
+def _bwd(num_heads, eps, group, interpret, res, g):
+    x, params = res
+    _, vjp = jax.vjp(lambda x, p: _block_reference(x, p, num_heads, eps), x, params)
+    return vjp(g)
+
+
+encoder_block_fused.defvjp(_fwd, _bwd)
+
+
+def maybe_megablock(params, x, cfg, rng, train):
+    """Policy gate for models/vitgan_v2._encoder_apply: route the block through
+    the fused kernel when enabled and dropout is inactive (the kernel has no
+    in-kernel RNG; train-with-dropout keeps the XLA/flash composition).
+    Returns None when the caller should use the standard path."""
+    from vitgan_tpu.ops.policy import megablock_enabled, on_tpu
+
+    if not megablock_enabled():
+        return None
+    if train and cfg.dropout > 0.0 and rng is not None:
+        return None
+    return encoder_block_fused(x, params, cfg.num_heads, 1e-5, 8, not on_tpu())

@@ -13,12 +13,13 @@ from __future__ import annotations
 import jax
 
 _POLICY = {"mode": "auto", "min_seq_len": 256, "min_mlp_rows": 2048, "remat": "never",
-           "head_pad": "auto", "bwd_fusion": "auto"}
+           "head_pad": "auto", "bwd_fusion": "auto", "megablock": "off"}
 
 
 def set_policy(mode: str | None = None, min_seq_len: int | None = None,
                min_mlp_rows: int | None = None, remat=None,
-               head_pad: str | None = None, bwd_fusion: str | None = None) -> None:
+               head_pad: str | None = None, bwd_fusion: str | None = None,
+               megablock: str | None = None) -> None:
     if mode is not None:
         assert mode in ("auto", "always", "never"), mode
         _POLICY["mode"] = mode
@@ -37,6 +38,16 @@ def set_policy(mode: str | None = None, min_seq_len: int | None = None,
     if bwd_fusion is not None:
         assert bwd_fusion in ("auto", "fused", "two_pass"), bwd_fusion
         _POLICY["bwd_fusion"] = bwd_fusion
+    if megablock is not None:
+        assert megablock in ("off", "on"), megablock
+        _POLICY["megablock"] = megablock
+
+
+def megablock_enabled() -> bool:
+    """Route dropout-free v2 encoder blocks through the single-kernel
+    megablock (ops/fused_block.py).  Opt-in ('off' by default): the A/B
+    verdict lives in BENCHMARKS.md / scripts/bench_megablock.py."""
+    return _POLICY["megablock"] == "on"
 
 
 def bwd_fusion_mode() -> str:
@@ -100,7 +111,8 @@ def apply_from_runtime(runtime_cfg) -> None:
     """Configure from a RuntimeConfig (vitgan_tpu.config.RuntimeConfig)."""
     set_policy(mode=runtime_cfg.use_pallas, remat=runtime_cfg.remat,
                head_pad=getattr(runtime_cfg, "head_pad", None),
-               bwd_fusion=getattr(runtime_cfg, "bwd_fusion", None))
+               bwd_fusion=getattr(runtime_cfg, "bwd_fusion", None),
+               megablock=getattr(runtime_cfg, "megablock", None))
     impl = getattr(runtime_cfg, "prng_impl", None)
     if impl:
         jax.config.update("jax_default_prng_impl", impl)
