@@ -28,6 +28,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax  # noqa: E402
+
+# The image's .axon_site customization force-registers the TPU platform even
+# when JAX_PLATFORMS=cpu is set (and a dead tunnel then hangs device init);
+# honor the env var explicitly so CPU smoke runs stay off the tunnel.
+if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 import numpy as np  # noqa: E402
 
 from vitgan_tpu import config as C  # noqa: E402
@@ -70,6 +80,18 @@ def main():
     n_calls = int(os.environ.get("BENCH_CALLS", "10"))
     cfg = C.ExperimentConfig(family="v2", data=C.DataConfig(dataset="synthetic"))
     cfg = C.replace(cfg, **{"v2.batch_size": batch})
+    # BENCH_SET="v2.dropout=0,runtime.megablock=on" — dotted config overrides
+    # for A/B runs of the same harness (values parsed as JSON when possible).
+    overrides = {}
+    for kv in filter(None, os.environ.get("BENCH_SET", "").split(",")):
+        k, v = kv.split("=", 1)
+        try:
+            v = json.loads(v)
+        except ValueError:
+            pass
+        overrides[k] = v
+    if overrides:
+        cfg = C.replace(cfg, **overrides)
     from vitgan_tpu.ops.policy import apply_from_runtime
 
     apply_from_runtime(cfg.runtime)
