@@ -171,6 +171,7 @@ def _v1_pp_cfg():
 
     cfg = C.smoke_config("v1")
     return C.replace(cfg, **{"v1.generator.depth": 4,
+                             "v1.discriminator.depth": 4,
                              "v1.generator.transformer.attn_dropout": 0.0,
                              "v1.generator.transformer.mlp_dropout": 0.0,
                              "v1.discriminator.transformer.attn_dropout": 0.0,
@@ -199,9 +200,36 @@ def test_v1_generator_pp_matches(pipe_mesh, rng):
     assert new_state["blocks"] == g_vars["state"]["blocks"]  # state-free pass-through
 
 
+def test_v1_discriminator_pp_matches(pipe_mesh, rng):
+    """The ISR/L2 discriminator stack pipelines: logits match, and the
+    stacked out-of-ring ISR refresh equals the sequential in-loop one."""
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.models.vitgan_v1 import discriminator_apply
+    from vitgan_tpu.parallel.pipeline import make_pp_v1_discriminator_runner
+
+    cfg = _v1_pp_cfg()
+    gan = build_gan(cfg)
+    d_vars = gan.discriminator_init(rng)
+    imgs = jax.random.uniform(jax.random.PRNGKey(13),
+                              (8, cfg.model.image_size, cfg.model.image_size,
+                               cfg.model.channels), minval=-1.0, maxval=1.0)
+    want, want_state = gan.discriminator_apply(d_vars, imgs, update_state=True)
+    runner = make_pp_v1_discriminator_runner(
+        cfg.model.discriminator.transformer, mesh=pipe_mesh, axis="pipe",
+        microbatches=2)
+    got, got_state = discriminator_apply(d_vars, imgs, cfg.model,
+                                         update_state=True,
+                                         blocks_runner=runner)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    for a, b in zip(jax.tree.leaves(got_state), jax.tree.leaves(want_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
 def test_v1_pp_train_step_matches_sequential(pipe_mesh, rng):
-    """v1 pp_bundle pipelines G only (D carries ISR state); one alternating
-    update must reproduce the sequential losses."""
+    """v1 pp_bundle pipelines BOTH stacks (G SLN, D ISR/L2); one alternating
+    update must reproduce the sequential losses and the ISR state."""
     from vitgan_tpu.models import build_gan
     from vitgan_tpu.train import create_train_state, make_train_step
 
@@ -212,12 +240,15 @@ def test_v1_pp_train_step_matches_sequential(pipe_mesh, rng):
                               (cfg.model.batch_size, cfg.model.image_size,
                                cfg.model.image_size, cfg.model.channels),
                               minval=-1.0, maxval=1.0)
-    _, m_seq = make_train_step(gan, cfg, donate=False)(
+    s_seq, m_seq = make_train_step(gan, cfg, donate=False)(
         create_train_state(rng, gan, cfg), real)
-    _, m_pp = make_train_step(ppg, cfg, donate=False)(
+    s_pp, m_pp = make_train_step(ppg, cfg, donate=False)(
         create_train_state(rng, gan, cfg), real)
     for key in ("d_loss", "g_loss"):
         np.testing.assert_allclose(float(m_pp[key]), float(m_seq[key]),
+                                   rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_pp.d_state), jax.tree.leaves(s_seq.d_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
 
 

@@ -204,9 +204,14 @@ def discriminator_init(key, cfg: V1Config, dtype=jnp.float32) -> Dict[str, Any]:
 
 def discriminator_apply(variables, images: jnp.ndarray, cfg: V1Config, *,
                         rng: Optional[jax.Array] = None, train: bool = False,
-                        update_state: bool = False
+                        update_state: bool = False, blocks_runner=None
                         ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
-    """images (B, H, W, C) -> real/fake logits (B,) (ref:src/v1/discriminatorViT.py:44-51)."""
+    """images (B, H, W, C) -> real/fake logits (B,) (ref:src/v1/discriminatorViT.py:44-51).
+
+    ``blocks_runner`` (parallel.pipeline) replaces the sequential block loop;
+    it receives (params, states, x, rngs, update_state) and returns
+    (x, new_states) — ISR refresh happens as a stacked pass there.
+    """
     params, state = variables["params"], variables["state"]
     d = cfg.discriminator
     tokens = extract_overlapping_patches(images, d.patch_size, d.overlap)
@@ -215,12 +220,18 @@ def discriminator_apply(variables, images: jnp.ndarray, cfg: V1Config, *,
     cls = jnp.broadcast_to(params["cls"].astype(tokens.dtype), (b, 1, tokens.shape[-1]))
     x = jnp.concatenate([cls, tokens], axis=1) + params["pos"].astype(tokens.dtype)
     n_rngs = d.depth + 1
-    rngs = jax.random.split(rng, n_rngs) if rng is not None else [None] * n_rngs
-    x = L.dropout(rngs[0], x, d.embed_dropout, train)
-    new_blocks = []
-    for p, s, r in zip(params["blocks"], state["blocks"], rngs[1:]):
-        x, ns = _transformer_block(p, s, x, d.transformer, score_mode="l2",
-                                   rng=r, train=train, update_state=update_state)
-        new_blocks.append(ns)
+    rngs = jax.random.split(rng, n_rngs) if rng is not None else None
+    x = L.dropout(rngs[0] if rng is not None else None, x, d.embed_dropout, train)
+    if blocks_runner is not None:
+        x, new_blocks = blocks_runner(params["blocks"], state["blocks"], x,
+                                      rngs[1:] if rng is not None else None,
+                                      update_state)
+    else:
+        rng_list = rngs if rngs is not None else [None] * n_rngs
+        new_blocks = []
+        for p, s, r in zip(params["blocks"], state["blocks"], rng_list[1:]):
+            x, ns = _transformer_block(p, s, x, d.transformer, score_mode="l2",
+                                       rng=r, train=train, update_state=update_state)
+            new_blocks.append(ns)
     logits = L.dense(params["head"], x[:, 0, :])[:, 0]
     return logits, {"blocks": new_blocks}

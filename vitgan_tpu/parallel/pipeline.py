@@ -290,27 +290,86 @@ def make_pp_v1_generator_runner(tcfg, *, mesh: Mesh, axis: str = "pipe",
     return runner
 
 
+def make_pp_v1_discriminator_runner(tcfg, *, mesh: Mesh, axis: str = "pipe",
+                                    microbatches: int, train: bool = False,
+                                    dp_axis: Optional[str] = None):
+    """A ``blocks_runner`` for the v1 ISR/L2-attention discriminator stack.
+
+    The ISR power-iteration state is data-INdependent (spectral_rescale's
+    estimate depends only on the weights), and its forward output is the same
+    whether or not the carried ``u`` is refreshed — so the pipelined forward
+    runs the blocks state-frozen, and the state refresh happens as ONE
+    stacked spectral_rescale pass outside the ring (the einsums broadcast
+    over the depth axis natively).
+
+    Contract: ``runner(blocks_p, blocks_s, x, rngs, update_state) ->
+    (x_out, new_blocks_s)``.
+    """
+    from vitgan_tpu.models.vitgan_v1 import _transformer_block
+
+    def runner(blocks_p: List[Any], blocks_s: List[Any], x, rngs, update_state):
+        merged = [{"p": p, "s": s} for p, s in zip(blocks_p, blocks_s)]
+
+        def fn(blk, h, kk=None):
+            out, _ = _transformer_block(blk["p"], blk["s"], h, tcfg,
+                                        score_mode="l2", rng=kk, train=train,
+                                        update_state=False)
+            return out
+
+        if not _pipelineable_batch(x, mesh, microbatches, dp_axis, train):
+            h = x
+            for blk, r in zip(merged, rngs if rngs is not None else [None] * len(merged)):
+                h = fn(blk, h, r)
+        else:
+            stacked = stack_blocks(merged)
+            if rngs is None:
+                h = pipeline_blocks(stacked, x, mesh=mesh, axis=axis,
+                                    microbatches=microbatches, block_fn=fn,
+                                    dp_axis=dp_axis)
+            else:
+                h = pipeline_blocks(stacked, x, mesh=mesh, axis=axis,
+                                    microbatches=microbatches,
+                                    block_fn=lambda blk, hh, kk: fn(blk, hh, kk),
+                                    rngs=_split_per_block_keys(rngs, microbatches),
+                                    dp_axis=dp_axis)
+
+        new_s = blocks_s
+        if update_state and blocks_s and "isr" in blocks_s[0].get("msha", {}):
+            from vitgan_tpu.models.layers import spectral_rescale
+
+            qkv = jnp.stack([p["msha"]["qkv"] for p in blocks_p])
+            isr = stack_blocks([s["msha"]["isr"] for s in blocks_s])
+            _, isr_new = spectral_rescale(qkv, isr, update=True)
+            new_s = [{"msha": {"isr": jax.tree.map(lambda a: a[i], isr_new)}}
+                     for i in range(len(blocks_s))]
+        return h, new_s
+
+    return runner
+
+
 def pp_bundle(gan, cfg, *, mesh: Mesh, axis: str = "pipe", microbatches: int,
               dp_axis: Optional[str] = None):
     """Wrap a GANBundle so its ViT block stacks run pipelined.
 
-    Supports the v2 family (G and D stacks) and the v1 family (generator
-    stack; the v1 discriminator carries ISR power-iteration state through its
-    blocks and stays sequential).  The param layout (list of blocks) is
-    unchanged — checkpoints stay interchangeable with the single-device path;
-    stacking happens inside the step and XLA shards the stacked leaves over
-    ``axis`` per the shard_map in_specs.
+    Supports the v2 family (G and D stacks) and the v1 family (SLN generator
+    stack AND the ISR/L2 discriminator stack — the ISR state refresh is
+    data-independent and runs as a stacked pass outside the ring).  The param
+    layout (list of blocks) is unchanged — checkpoints stay interchangeable
+    with the single-device path; stacking happens inside the step and XLA
+    shards the stacked leaves over ``axis`` per the shard_map in_specs.
     """
     from dataclasses import replace as dc_replace
 
     mcfg = cfg.model
     stages = mesh.shape[axis]
-    depth = (mcfg.depth if gan.family == "v2"
-             else mcfg.generator.depth if gan.family == "v1" else None)
-    if depth is not None and depth % stages != 0:
-        raise ValueError(
-            f"{gan.family} block depth {depth} not divisible by "
-            f"pipeline stages {stages} (axis {axis!r})")
+    depths = ((mcfg.depth,) if gan.family == "v2"
+              else (mcfg.generator.depth, mcfg.discriminator.depth)
+              if gan.family == "v1" else ())
+    for depth in depths:
+        if depth % stages != 0:
+            raise ValueError(
+                f"{gan.family} block depth {depth} not divisible by "
+                f"pipeline stages {stages} (axis {axis!r})")
     if gan.family == "v2":
         from vitgan_tpu.models.vitgan_v2 import discriminator_apply, generator_apply
 
@@ -332,7 +391,7 @@ def pp_bundle(gan, cfg, *, mesh: Mesh, axis: str = "pipe", microbatches: int,
         return dc_replace(gan, generator_apply=g_apply, discriminator_apply=d_apply)
 
     if gan.family == "v1":
-        from vitgan_tpu.models.vitgan_v1 import generator_apply
+        from vitgan_tpu.models.vitgan_v1 import discriminator_apply, generator_apply
 
         def g_apply(variables, z, rng=None, train=False):
             runner = make_pp_v1_generator_runner(
@@ -341,6 +400,14 @@ def pp_bundle(gan, cfg, *, mesh: Mesh, axis: str = "pipe", microbatches: int,
             return generator_apply(variables, z, mcfg, rng=rng, train=train,
                                    blocks_runner=runner)
 
-        return dc_replace(gan, generator_apply=g_apply)
+        def d_apply(variables, images, rng=None, train=False, update_state=False):
+            runner = make_pp_v1_discriminator_runner(
+                mcfg.discriminator.transformer, mesh=mesh, axis=axis,
+                microbatches=microbatches, train=train, dp_axis=dp_axis)
+            return discriminator_apply(variables, images, mcfg, rng=rng,
+                                       train=train, update_state=update_state,
+                                       blocks_runner=runner)
+
+        return dc_replace(gan, generator_apply=g_apply, discriminator_apply=d_apply)
 
     raise ValueError(f"pipeline parallelism supports v1/v2 ViT stacks, not {gan.family!r}")
