@@ -35,8 +35,9 @@ import jax  # noqa: E402
 if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
     try:
         jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+    except Exception as e:
+        print(f"warning: could not force the cpu platform ({e}); device init "
+              "may touch the TPU tunnel", file=sys.stderr)
 
 import numpy as np  # noqa: E402
 
@@ -83,13 +84,15 @@ def main():
     # BENCH_SET="v2.dropout=0,runtime.megablock=on" — dotted config overrides
     # for A/B runs of the same harness (values parsed as JSON when possible).
     overrides = {}
-    for kv in filter(None, os.environ.get("BENCH_SET", "").split(",")):
+    for kv in filter(None, (s.strip() for s in os.environ.get("BENCH_SET", "").split(","))):
+        if "=" not in kv:
+            sys.exit(f"BENCH_SET entry {kv!r} is not key=value")
         k, v = kv.split("=", 1)
         try:
             v = json.loads(v)
         except ValueError:
             pass
-        overrides[k] = v
+        overrides[k.strip()] = v
     if overrides:
         cfg = C.replace(cfg, **overrides)
     from vitgan_tpu.ops.policy import apply_from_runtime

@@ -279,8 +279,10 @@ class RuntimeConfig:
     bwd_fusion: str = "auto"  # auto | fused | two_pass
     # Route dropout-free v2 encoder blocks through the single-kernel Pallas
     # megablock (ops/fused_block.py; backward = exact XLA recompute VJP).
-    # Opt-in — the measured verdict lives in BENCHMARKS.md.
+    # Opt-in; verdict pending on-chip measurement (scripts/bench_megablock.py
+    # is the harness).  use_pallas='never' wins over this knob.
     megablock: str = "off"  # off | on
+    megablock_group: int = 8  # samples per megablock grid step (VMEM knob)
     # lax.scan unroll factor for the scanned multi-step train paths: copies of
     # the step body XLA may fuse across.  Measured A/B on v5e at v2 scale
     # (scripts/bench_unroll.py): 2 → +1.6% (≈noise, 2× compile), 4 → −4.6% —

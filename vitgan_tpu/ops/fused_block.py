@@ -19,9 +19,11 @@ shape) is the point.  Numerics: float32 accumulation inside, erf-form GELU
 (the same in-kernel polynomial as ops/fused_mlp), key-side masking for padded
 tokens.
 
-Used for A/B measurement and forward-only paths; the training integration
-keeps the XLA/flash composition (see scripts/bench_megablock.py for the
-measured verdict).
+``encoder_block_fused`` wraps the kernel in a custom_vjp (exact XLA recompute
+backward), and ``maybe_megablock`` routes dropout-free blocks through it when
+``runtime.megablock=on`` — so eval/sampling always qualifies, and training
+qualifies at dropout 0 (no in-kernel RNG yet).  Off by default; the A/B
+verdict is pending on-chip measurement (scripts/bench_megablock.py).
 """
 
 from __future__ import annotations
@@ -243,10 +245,12 @@ def maybe_megablock(params, x, cfg, rng, train):
     the fused kernel when enabled and dropout is inactive (the kernel has no
     in-kernel RNG; train-with-dropout keeps the XLA/flash composition).
     Returns None when the caller should use the standard path."""
-    from vitgan_tpu.ops.policy import megablock_enabled, on_tpu
+    from vitgan_tpu.ops.policy import megablock_enabled, megablock_group, on_tpu
 
     if not megablock_enabled():
         return None
-    if train and cfg.dropout > 0.0 and rng is not None:
+    if train and cfg.dropout > 0.0:
+        # standard path; it also surfaces the missing-rng error loudly
         return None
-    return encoder_block_fused(x, params, cfg.num_heads, 1e-5, 8, not on_tpu())
+    return encoder_block_fused(x, params, cfg.num_heads, 1e-5,
+                               megablock_group(), not on_tpu())

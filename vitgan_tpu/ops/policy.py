@@ -13,13 +13,15 @@ from __future__ import annotations
 import jax
 
 _POLICY = {"mode": "auto", "min_seq_len": 256, "min_mlp_rows": 2048, "remat": "never",
-           "head_pad": "auto", "bwd_fusion": "auto", "megablock": "off"}
+           "head_pad": "auto", "bwd_fusion": "auto", "megablock": "off",
+           "megablock_group": 8}
 
 
 def set_policy(mode: str | None = None, min_seq_len: int | None = None,
                min_mlp_rows: int | None = None, remat=None,
                head_pad: str | None = None, bwd_fusion: str | None = None,
-               megablock: str | None = None) -> None:
+               megablock: str | None = None,
+               megablock_group: int | None = None) -> None:
     if mode is not None:
         assert mode in ("auto", "always", "never"), mode
         _POLICY["mode"] = mode
@@ -41,13 +43,22 @@ def set_policy(mode: str | None = None, min_seq_len: int | None = None,
     if megablock is not None:
         assert megablock in ("off", "on"), megablock
         _POLICY["megablock"] = megablock
+    if megablock_group is not None:
+        _POLICY["megablock_group"] = int(megablock_group)
 
 
 def megablock_enabled() -> bool:
     """Route dropout-free v2 encoder blocks through the single-kernel
-    megablock (ops/fused_block.py).  Opt-in ('off' by default): the A/B
-    verdict lives in BENCHMARKS.md / scripts/bench_megablock.py."""
-    return _POLICY["megablock"] == "on"
+    megablock (ops/fused_block.py).  Opt-in ('off' by default; A/B verdict
+    pending — scripts/bench_megablock.py is the harness).  ``mode='never'``
+    is the global Pallas kill switch and wins over this knob."""
+    return _POLICY["megablock"] == "on" and _POLICY["mode"] != "never"
+
+
+def megablock_group() -> int:
+    """Samples per megablock grid step (VMEM working-set knob; the A/B
+    harness sweeps 4/8/16 per shape)."""
+    return _POLICY["megablock_group"]
 
 
 def bwd_fusion_mode() -> str:
@@ -112,7 +123,8 @@ def apply_from_runtime(runtime_cfg) -> None:
     set_policy(mode=runtime_cfg.use_pallas, remat=runtime_cfg.remat,
                head_pad=getattr(runtime_cfg, "head_pad", None),
                bwd_fusion=getattr(runtime_cfg, "bwd_fusion", None),
-               megablock=getattr(runtime_cfg, "megablock", None))
+               megablock=getattr(runtime_cfg, "megablock", None),
+               megablock_group=getattr(runtime_cfg, "megablock_group", None))
     impl = getattr(runtime_cfg, "prng_impl", None)
     if impl:
         jax.config.update("jax_default_prng_impl", impl)

@@ -226,20 +226,16 @@ def make_pp_block_runner(cfg, *, mesh: Mesh, axis: str = "pipe",
     def runner(blocks: List[Any], x: jnp.ndarray, rngs) -> jnp.ndarray:
         if not _pipelineable_batch(x, mesh, microbatches, dp_axis, train):
             return _run_blocks(blocks, x, rngs, cfg, train, None)
-        stacked = stack_blocks(blocks)
         # Same remat policy as the sequential loop: without it the per-tick
         # scan would store every block's residuals and PP would cost the
         # activation memory that remat presets (hires) rely on saving.
-        if rngs is None:
-            block = _maybe_remat(lambda p, h: _encoder_apply(p, h, cfg, None, train))
-            return pipeline_blocks(
-                stacked, x, mesh=mesh, axis=axis, microbatches=microbatches,
-                block_fn=block, dp_axis=dp_axis)
-        block = _maybe_remat(lambda p, h, kk: _encoder_apply(p, h, cfg, kk, train))
+        block = _maybe_remat(lambda p, h, kk=None: _encoder_apply(p, h, cfg, kk, train))
         return pipeline_blocks(
-            stacked, x, mesh=mesh, axis=axis, microbatches=microbatches,
-            block_fn=block,
-            rngs=_split_per_block_keys(rngs, microbatches), dp_axis=dp_axis)
+            stack_blocks(blocks), x, mesh=mesh, axis=axis,
+            microbatches=microbatches, block_fn=block,
+            rngs=(_split_per_block_keys(rngs, microbatches)
+                  if rngs is not None else None),
+            dp_axis=dp_axis)
 
     return runner
 
@@ -273,18 +269,11 @@ def make_pp_v1_generator_runner(tcfg, *, mesh: Mesh, axis: str = "pipe",
             for p, r in zip(blocks, rngs if rngs is not None else [None] * len(blocks)):
                 h, w = fn(p, (h, w), r)
             return h
-        stacked = stack_blocks(blocks)
-
-        if rngs is None:
-            out = pipeline_blocks(stacked, hw, mesh=mesh, axis=axis,
-                                  microbatches=microbatches, block_fn=fn,
-                                  dp_axis=dp_axis)
-        else:
-            out = pipeline_blocks(stacked, hw, mesh=mesh, axis=axis,
-                                  microbatches=microbatches,
-                                  block_fn=lambda p, hw, kk: fn(p, hw, kk),
-                                  rngs=_split_per_block_keys(rngs, microbatches),
-                                  dp_axis=dp_axis)
+        out = pipeline_blocks(stack_blocks(blocks), hw, mesh=mesh, axis=axis,
+                              microbatches=microbatches, block_fn=fn,
+                              rngs=(_split_per_block_keys(rngs, microbatches)
+                                    if rngs is not None else None),
+                              dp_axis=dp_axis)
         return out[0]
 
     return runner
@@ -321,17 +310,11 @@ def make_pp_v1_discriminator_runner(tcfg, *, mesh: Mesh, axis: str = "pipe",
             for blk, r in zip(merged, rngs if rngs is not None else [None] * len(merged)):
                 h = fn(blk, h, r)
         else:
-            stacked = stack_blocks(merged)
-            if rngs is None:
-                h = pipeline_blocks(stacked, x, mesh=mesh, axis=axis,
-                                    microbatches=microbatches, block_fn=fn,
-                                    dp_axis=dp_axis)
-            else:
-                h = pipeline_blocks(stacked, x, mesh=mesh, axis=axis,
-                                    microbatches=microbatches,
-                                    block_fn=lambda blk, hh, kk: fn(blk, hh, kk),
-                                    rngs=_split_per_block_keys(rngs, microbatches),
-                                    dp_axis=dp_axis)
+            h = pipeline_blocks(stack_blocks(merged), x, mesh=mesh, axis=axis,
+                                microbatches=microbatches, block_fn=fn,
+                                rngs=(_split_per_block_keys(rngs, microbatches)
+                                      if rngs is not None else None),
+                                dp_axis=dp_axis)
 
         new_s = blocks_s
         if update_state and blocks_s and "isr" in blocks_s[0].get("msha", {}):
