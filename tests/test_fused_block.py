@@ -76,6 +76,27 @@ def test_megablock_policy_routing(rng):
     assert np.isfinite(np.asarray(trained)).all()
 
 
+def test_megablock_routes_train_dropout(rng):
+    """megablock=on with train+dropout: off-TPU the in-kernel-RNG variant has
+    no interpret lowering, so the standard XLA dropout path must be used
+    (finite, differs from eval); the kernel variant is covered in the
+    on-chip lane (tests/test_tpu_onchip.py)."""
+    from vitgan_tpu.ops.policy import set_policy
+
+    cfg = V2Config(image_size=16, patch_size=4, embed_dim=32, num_heads=2,
+                   mlp_ratio=2, dropout=0.2)
+    params = _encoder_init(rng, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(7), (4, 17, 32), jnp.float32)
+    try:
+        set_policy(megablock="on", megablock_group=4)
+        trained = _encoder_apply(params, x, cfg, jax.random.PRNGKey(8), True)
+        evaled = _encoder_apply(params, x, cfg, None, False)
+    finally:
+        set_policy(megablock="off", megablock_group=8)
+    assert np.isfinite(np.asarray(trained)).all()
+    assert not np.allclose(np.asarray(trained), np.asarray(evaled))
+
+
 def test_fused_block_group_padding(rng):
     """Batch not divisible by the group: padded samples must not leak."""
     cfg = V2Config(image_size=16, patch_size=4, embed_dim=32, num_heads=2,

@@ -185,3 +185,50 @@ def test_fused_block_parity_on_chip():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                atol=3e-2, rtol=3e-2)
+
+
+def test_fused_block_dropout_on_chip():
+    """In-kernel hardware-PRNG dropout: the forward equals the XLA reference
+    applying the RETURNED masks (exact-recompute-backward invariant), mask
+    statistics are right, the same seed reproduces, and grads match the
+    masked reference.  TPU-only: pltpu.prng_seed has no interpret lowering."""
+    from vitgan_tpu.config import V2Config
+    from vitgan_tpu.models.vitgan_v2 import _encoder_init
+    from vitgan_tpu.ops.fused_block import (_block_reference_masked,
+                                            encoder_block_fused_dropout,
+                                            fused_encoder_block)
+
+    cfg = V2Config(image_size=32, patch_size=4, embed_dim=128, num_heads=4,
+                   mlp_ratio=2, dropout=0.0)
+    params = _encoder_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(3), (16, 65, 128), jnp.float32)
+    seed = jnp.asarray(1234, jnp.int32)
+    run = jax.jit(lambda x, p, s: fused_encoder_block(
+        x, p, num_heads=4, group=8, rate=0.1, seed=s))
+    out, m1, m2 = run(x, params, seed)
+    want = _block_reference_masked(x, params, m1, m2, 4, 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    for m in (m1, m2):
+        vals = np.unique(np.asarray(m))
+        assert set(np.round(vals, 4)) <= {0.0, round(1 / 0.9, 4)}
+        drop_frac = float((np.asarray(m) == 0).mean())
+        assert 0.05 < drop_frac < 0.15, drop_frac
+    out2, m1b, _ = run(x, params, seed)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m1b))
+
+    cot = jax.random.normal(jax.random.PRNGKey(6), x.shape, jnp.float32)
+
+    def loss_fused(x, p):
+        return jnp.sum(encoder_block_fused_dropout(x, p, seed, 0.1, 4, 1e-5,
+                                                   8, False) * cot)
+
+    def loss_ref(x, p):
+        return jnp.sum(_block_reference_masked(x, p, m1, m2, 4, 1e-5) * cot)
+
+    gf = jax.jit(jax.grad(loss_fused, argnums=(0, 1)))(x, params)
+    gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(x, params)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)

@@ -61,10 +61,28 @@ def _layernorm(x, scale, bias, d_real, eps):
     return y
 
 
-def _kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
-            ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-            attn_ref, *, n_real: int, e_real: int, num_heads: int, head_dim: int,
-            scale: float, eps: float):
+def _kernel(*refs, n_real: int, e_real: int, num_heads: int, head_dim: int,
+            scale: float, eps: float, rate: float):
+    if rate > 0.0:
+        (seed_ref, x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref,
+         bout_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         o_ref, m1_ref, m2_ref, attn_ref) = refs
+        # hardware PRNG; decorrelate grid steps via the program index
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        keep = 1.0 - rate
+        threshold = min(int(rate * 2 ** 32), 2 ** 32 - 1)
+
+        def dropmul(shape):
+            """Multiply-mask: 0 with prob ``rate`` else 1/keep (inverted
+            dropout).  Returned to the caller so the recompute backward
+            applies the EXACT same masks."""
+            bits = pltpu.prng_random_bits(shape)  # uint32
+            return jnp.where(bits.astype(jnp.uint32) >= jnp.uint32(threshold),
+                             jnp.float32(1.0 / keep), jnp.float32(0.0))
+    else:
+        (x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+         ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         o_ref, attn_ref) = refs
     gb, n_pad, e_pad = x_ref.shape
     rows = gb * n_pad
     x = x_ref[:].astype(jnp.float32).reshape(rows, e_pad)
@@ -104,7 +122,12 @@ def _kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
 
     proj = jnp.dot(attn_ref[:], wout_ref[:].astype(jnp.float32),
                    preferred_element_type=jnp.float32)
-    x1 = x + proj + bout_ref[:].astype(jnp.float32)
+    a = proj + bout_ref[:].astype(jnp.float32)
+    if rate > 0.0:
+        m1 = dropmul((rows, e_pad))
+        m1_ref[:] = m1.reshape(gb, n_pad, e_pad).astype(m1_ref.dtype)
+        a = a * m1
+    x1 = x + a
 
     # --- MLP half
     y2 = _layernorm(x1, ln2s_ref[:].astype(jnp.float32), ln2b_ref[:].astype(jnp.float32),
@@ -112,17 +135,30 @@ def _kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     h1 = _gelu_exactish(
         jnp.dot(y2, w1_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
         + b1_ref[:].astype(jnp.float32))
-    out = x1 + jnp.dot(h1, w2_ref[:].astype(jnp.float32),
-                       preferred_element_type=jnp.float32) + b2_ref[:].astype(jnp.float32)
+    mlp = jnp.dot(h1, w2_ref[:].astype(jnp.float32),
+                  preferred_element_type=jnp.float32) + b2_ref[:].astype(jnp.float32)
+    if rate > 0.0:
+        m2 = dropmul((rows, e_pad))
+        m2_ref[:] = m2.reshape(gb, n_pad, e_pad).astype(m2_ref.dtype)
+        mlp = mlp * m2
+    out = x1 + mlp
     o_ref[:] = out.reshape(gb, n_pad, e_pad).astype(o_ref.dtype)
 
 
 def fused_encoder_block(x, params, *, num_heads: int, eps: float = 1e-5,
-                        group: int = 8, interpret: bool = False):
-    """x (B, N, E) -> one v2 encoder block forward (dropout-free).
+                        group: int = 8, interpret: bool = False,
+                        rate: float = 0.0, seed=None):
+    """x (B, N, E) -> one v2 encoder block forward.
 
     ``params`` is a models/vitgan_v2._encoder_init dict: ln1/ln2 {scale,bias},
     msha {qkv (3,H,E,Dh), qkv_b (3,H,Dh), out {w,b}}, fc1/fc2 {w,b}.
+
+    With ``rate > 0`` (requires an int32 ``seed``), inverted-dropout masks for
+    the attention and MLP branches are drawn from the TPU hardware PRNG
+    in-kernel and RETURNED alongside the output as float32 multiply-masks
+    (0 or 1/keep), so a recompute backward can apply the exact same masks:
+    returns ``(out, m1, m2)`` instead of ``out``.  The RNG stream differs
+    from the XLA path's jax.random masks (valid dropout, not bit-identical).
     """
     b, n, e = x.shape
     qkv_w = params["msha"]["qkv"]
@@ -160,40 +196,57 @@ def fused_encoder_block(x, params, *, num_heads: int, eps: float = 1e-5,
         "b2": jnp.pad(params["fc2"]["b"], (0, e_pad - e)).reshape(1, e_pad),
     }
 
+    if rate > 0.0 and seed is None:
+        raise ValueError("dropout rate > 0 requires an int32 seed")
     kernel = functools.partial(
         _kernel, n_real=n, e_real=e, num_heads=h, head_dim=dh,
-        scale=float(dh), eps=eps)
+        scale=float(dh), eps=eps, rate=float(rate))
     full = lambda g: (0, 0)  # noqa: E731
-    out = pl.pallas_call(
+    tile = pl.BlockSpec((group, n_pad, e_pad), lambda g: (g, 0, 0),
+                        memory_space=pltpu.VMEM)
+    in_specs = [
+        tile,
+        pl.BlockSpec((1, e_pad), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, e_pad), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((e_pad, hd_pad), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hd_pad), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((_ceil_to(h * dh, 128), e_pad), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, e_pad), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, e_pad), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, e_pad), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((e_pad, hidden_pad), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hidden_pad), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((hidden_pad, e_pad), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, e_pad), full, memory_space=pltpu.VMEM),
+    ]
+    args = [xp, pads["ln1s"], pads["ln1b"], pads["wqkv"], pads["bqkv"],
+            pads["wout"], pads["bout"], pads["ln2s"], pads["ln2b"],
+            pads["w1"], pads["b1"], pads["w2"], pads["b2"]]
+    out_shape = jax.ShapeDtypeStruct((b_pad, n_pad, e_pad), x.dtype)
+    out_specs = tile
+    if rate > 0.0:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.insert(0, jnp.asarray(seed, jnp.int32).reshape(1))
+        mask_shape = jax.ShapeDtypeStruct((b_pad, n_pad, e_pad), jnp.float32)
+        mask_tile = pl.BlockSpec((group, n_pad, e_pad), lambda g: (g, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = (out_shape, mask_shape, mask_shape)
+        out_specs = (tile, mask_tile, mask_tile)
+    res = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad, e_pad), x.dtype),
+        out_shape=out_shape,
         grid=(b_pad // group,),
-        in_specs=[
-            pl.BlockSpec((group, n_pad, e_pad), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, e_pad), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, e_pad), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((e_pad, hd_pad), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hd_pad), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_ceil_to(h * dh, 128), e_pad), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, e_pad), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, e_pad), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, e_pad), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((e_pad, hidden_pad), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hidden_pad), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden_pad, e_pad), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, e_pad), full, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((group, n_pad, e_pad), lambda g: (g, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((group * n_pad, _ceil_to(h * dh, 128)), jnp.float32),
         ],
         interpret=interpret,
-    )(xp, pads["ln1s"], pads["ln1b"], pads["wqkv"], pads["bqkv"], pads["wout"],
-      pads["bout"], pads["ln2s"], pads["ln2b"], pads["w1"], pads["b1"],
-      pads["w2"], pads["b2"])
-    return out[:b, :n, :e]
+    )(*args)
+    if rate > 0.0:
+        out, m1, m2 = res
+        return (out[:b, :n, :e], m1[:b, :n, :e], m2[:b, :n, :e])
+    return res[:b, :n, :e]
 
 
 # ---------------------------------------------------------------------------
@@ -240,6 +293,59 @@ def _bwd(num_heads, eps, group, interpret, res, g):
 encoder_block_fused.defvjp(_fwd, _bwd)
 
 
+def _block_reference_masked(x, params, m1, m2, num_heads: int, eps: float):
+    """Pure-XLA v2 block applying PRE-DRAWN float32 multiply-masks — the VJP
+    recompute path for the in-kernel-dropout forward (exact same masks)."""
+    from vitgan_tpu.models import layers as L
+    from vitgan_tpu.ops.fused_mlp import _reference as mlp_reference
+
+    dh = params["msha"]["qkv"].shape[-1]
+    a, _ = L.mhsa(params["msha"], {}, L.layer_norm(params["ln1"], x, eps),
+                  score_mode="dot", scale=dh)
+    x1 = x + (a.astype(jnp.float32) * m1).astype(x.dtype)
+    mlp = mlp_reference(x1, params["ln2"]["scale"], params["ln2"]["bias"],
+                        params["fc1"]["w"], params["fc1"]["b"],
+                        params["fc2"]["w"], params["fc2"]["b"],
+                        "gelu", eps, False)
+    return x1 + (mlp.astype(jnp.float32) * m2).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def encoder_block_fused_dropout(x, params, seed, rate: float, num_heads: int,
+                                eps: float = 1e-5, group: int = 8,
+                                interpret: bool = False):
+    """Differentiable megablock WITH in-kernel dropout (hardware PRNG).
+
+    The backward applies the exact masks the forward drew (they ride along
+    as residuals), so gradients are exact for the sampled dropout function.
+    """
+    out, _, _ = fused_encoder_block(x, params, num_heads=num_heads, eps=eps,
+                                    group=group, interpret=interpret,
+                                    rate=rate, seed=seed)
+    return out
+
+
+def _fwd_dropout(x, params, seed, rate, num_heads, eps, group, interpret):
+    out, m1, m2 = fused_encoder_block(x, params, num_heads=num_heads, eps=eps,
+                                      group=group, interpret=interpret,
+                                      rate=rate, seed=seed)
+    return out, (x, params, m1, m2, seed)
+
+
+def _bwd_dropout(rate, num_heads, eps, group, interpret, res, g):
+    import numpy as np
+
+    x, params, m1, m2, seed = res
+    _, vjp = jax.vjp(
+        lambda x, p: _block_reference_masked(x, p, m1, m2, num_heads, eps),
+        x, params)
+    dx, dp = vjp(g)
+    return dx, dp, np.zeros(seed.shape, jax.dtypes.float0)
+
+
+encoder_block_fused_dropout.defvjp(_fwd_dropout, _bwd_dropout)
+
+
 def maybe_megablock(params, x, cfg, rng, train):
     """Policy gate for models/vitgan_v2._encoder_apply: route the block through
     the fused kernel when enabled and dropout is inactive (the kernel has no
@@ -250,7 +356,17 @@ def maybe_megablock(params, x, cfg, rng, train):
     if not megablock_enabled():
         return None
     if train and cfg.dropout > 0.0:
-        # standard path; it also surfaces the missing-rng error loudly
-        return None
+        if rng is None or not on_tpu():
+            # standard path: it surfaces the missing-rng error loudly, and
+            # the hardware-PRNG dropout kernel has no interpret-mode lowering
+            # (pltpu.prng_seed is TPU-only) so CPU runs keep XLA dropout.
+            return None
+        # In-kernel dropout: same rate, hardware-PRNG stream (valid dropout,
+        # not bit-identical to the XLA path's jax.random masks).
+        seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max,
+                                  dtype=jnp.int32)
+        return encoder_block_fused_dropout(x, params, seed, float(cfg.dropout),
+                                           cfg.num_heads, 1e-5,
+                                           megablock_group(), not on_tpu())
     return encoder_block_fused(x, params, cfg.num_heads, 1e-5,
                                megablock_group(), not on_tpu())
