@@ -64,10 +64,43 @@ def run_case(name, s, groups=(4, 8, 16)):
         print(json.dumps({"case": name, "error": "no group compiled"}))
         return {"case": name, "error": "no group compiled"}
     g, t_pl = best
-    res = {"case": name, "tokens": n, "embed": cfg.embed_dim,
-           "xla_us": round(t_xla * 1e6, 1),
-           "pallas_us": round(t_pl * 1e6, 1), "group": g,
-           "speedup": round(t_xla / t_pl, 3)}
+
+    # dropout variant (mask generation + 2 extra mask writes) at the best group
+    from vitgan_tpu.ops.fused_block import encoder_block_fused_dropout
+
+    seed = jnp.asarray(7, jnp.int32)
+    do_fn = jax.jit(lambda x, p, s: fused_encoder_block(
+        x, p, num_heads=cfg.num_heads, group=g, rate=0.1, seed=s)[0])
+    t_do = sync_timeit_scalar(do_fn, x, params, seed, iters=50, warmup=3)
+
+    # fwd+bwd: megablock fwd + exact-recompute XLA bwd vs pure XLA AD
+    cot = jax.random.normal(jax.random.PRNGKey(2), x.shape, x.dtype)
+    g_xla = jax.jit(jax.grad(
+        lambda x, p: jnp.sum(_encoder_apply(p, x, cfg, None, False) * cot),
+        argnums=(0, 1)))
+    t_xla_fb = sync_timeit_scalar(g_xla, x, params, iters=30, warmup=3)
+    from vitgan_tpu.ops.fused_block import encoder_block_fused
+
+    g_pl = jax.jit(jax.grad(
+        lambda x, p: jnp.sum(encoder_block_fused(x, p, cfg.num_heads, 1e-5,
+                                                 g, False) * cot),
+        argnums=(0, 1)))
+    t_pl_fb = sync_timeit_scalar(g_pl, x, params, iters=30, warmup=3)
+    g_do = jax.jit(jax.grad(
+        lambda x, p: jnp.sum(encoder_block_fused_dropout(
+            x, p, seed, 0.1, cfg.num_heads, 1e-5, g, False) * cot),
+        argnums=(0, 1)))
+    t_do_fb = sync_timeit_scalar(g_do, x, params, iters=30, warmup=3)
+
+    res = {"case": name, "tokens": n, "embed": cfg.embed_dim, "group": g,
+           "fwd": {"xla_us": round(t_xla * 1e6, 1),
+                   "pallas_us": round(t_pl * 1e6, 1),
+                   "pallas_dropout_us": round(t_do * 1e6, 1),
+                   "speedup": round(t_xla / t_pl, 3)},
+           "fwd_bwd": {"xla_us": round(t_xla_fb * 1e6, 1),
+                       "pallas_us": round(t_pl_fb * 1e6, 1),
+                       "pallas_dropout_us": round(t_do_fb * 1e6, 1),
+                       "speedup": round(t_xla_fb / t_pl_fb, 3)}}
     print(json.dumps(res))
     return res
 
