@@ -22,6 +22,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# MEGABLOCK_SMOKE=1: CPU logic smoke (interpret-mode kernels, tiny case and
+# iteration counts) so the script can't burn chip time on a trivial bug.
+SMOKE = os.environ.get("MEGABLOCK_SMOKE") == "1"
+if SMOKE:
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from vitgan_tpu.config import V2Config
@@ -29,14 +36,19 @@ from vitgan_tpu.models.vitgan_v2 import _encoder_apply, _encoder_init
 from vitgan_tpu.ops.fused_block import fused_encoder_block
 from vitgan_tpu.utils.timing import sync_timeit_scalar
 
+ITERS = 2 if SMOKE else 50
 CASES = [
     ("v2_G_b64", dict(b=64, image_size=32, patch=4, embed=128, heads=4)),
     ("v2_Dcat_b128", dict(b=128, image_size=32, patch=4, embed=128, heads=4)),
     ("deit64_b64", dict(b=64, image_size=64, patch=4, embed=192, heads=6)),
 ]
+if SMOKE:
+    CASES = [("smoke", dict(b=8, image_size=16, patch=4, embed=32, heads=2))]
 
 
 def run_case(name, s, groups=(4, 8, 16)):
+    if SMOKE:
+        groups = (4,)
     cfg = V2Config(image_size=s["image_size"], patch_size=s["patch"],
                    embed_dim=s["embed"], num_heads=s["heads"], mlp_ratio=2,
                    dropout=0.0)
@@ -47,14 +59,14 @@ def run_case(name, s, groups=(4, 8, 16)):
                           jnp.bfloat16)
 
     xla_fn = jax.jit(lambda x, p: _encoder_apply(p, x, cfg, None, False))
-    t_xla = sync_timeit_scalar(xla_fn, x, params, iters=50, warmup=3)
+    t_xla = sync_timeit_scalar(xla_fn, x, params, iters=ITERS, warmup=3)
 
     best = None
     for g in groups:
         pl_fn = jax.jit(lambda x, p, g=g: fused_encoder_block(
-            x, p, num_heads=cfg.num_heads, group=g))
+            x, p, num_heads=cfg.num_heads, group=g, interpret=SMOKE))
         try:
-            t = sync_timeit_scalar(pl_fn, x, params, iters=50, warmup=3)
+            t = sync_timeit_scalar(pl_fn, x, params, iters=ITERS, warmup=3)
         except Exception as e:  # e.g. VMEM overflow at large groups
             print(f"  group {g}: {type(e).__name__}", file=sys.stderr)
             continue
@@ -65,41 +77,45 @@ def run_case(name, s, groups=(4, 8, 16)):
         return {"case": name, "error": "no group compiled"}
     g, t_pl = best
 
-    # dropout variant (mask generation + 2 extra mask writes) at the best group
+    # dropout variant (mask generation + 2 extra mask writes) at the best
+    # group — hardware PRNG, so skipped in the CPU smoke (no interpret lowering)
     from vitgan_tpu.ops.fused_block import encoder_block_fused_dropout
 
     seed = jnp.asarray(7, jnp.int32)
-    do_fn = jax.jit(lambda x, p, s: fused_encoder_block(
-        x, p, num_heads=cfg.num_heads, group=g, rate=0.1, seed=s)[0])
-    t_do = sync_timeit_scalar(do_fn, x, params, seed, iters=50, warmup=3)
+    t_do = None
+    if not SMOKE:
+        do_fn = jax.jit(lambda x, p, s: fused_encoder_block(
+            x, p, num_heads=cfg.num_heads, group=g, rate=0.1, seed=s)[0])
+        t_do = sync_timeit_scalar(do_fn, x, params, seed, iters=ITERS, warmup=3)
 
     # fwd+bwd: megablock fwd + exact-recompute XLA bwd vs pure XLA AD
     cot = jax.random.normal(jax.random.PRNGKey(2), x.shape, x.dtype)
     g_xla = jax.jit(jax.grad(
         lambda x, p: jnp.sum(_encoder_apply(p, x, cfg, None, False) * cot),
         argnums=(0, 1)))
-    t_xla_fb = sync_timeit_scalar(g_xla, x, params, iters=30, warmup=3)
+    t_xla_fb = sync_timeit_scalar(g_xla, x, params, iters=ITERS, warmup=3)
     from vitgan_tpu.ops.fused_block import encoder_block_fused
 
     g_pl = jax.jit(jax.grad(
         lambda x, p: jnp.sum(encoder_block_fused(x, p, cfg.num_heads, 1e-5,
-                                                 g, False) * cot),
+                                                 g, SMOKE) * cot),
         argnums=(0, 1)))
-    t_pl_fb = sync_timeit_scalar(g_pl, x, params, iters=30, warmup=3)
-    g_do = jax.jit(jax.grad(
-        lambda x, p: jnp.sum(encoder_block_fused_dropout(
-            x, p, seed, 0.1, cfg.num_heads, 1e-5, g, False) * cot),
-        argnums=(0, 1)))
-    t_do_fb = sync_timeit_scalar(g_do, x, params, iters=30, warmup=3)
+    t_pl_fb = sync_timeit_scalar(g_pl, x, params, iters=ITERS, warmup=3)
+    t_do_fb = None
+    if not SMOKE:
+        g_do = jax.jit(jax.grad(
+            lambda x, p: jnp.sum(encoder_block_fused_dropout(
+                x, p, seed, 0.1, cfg.num_heads, 1e-5, g, False) * cot),
+            argnums=(0, 1)))
+        t_do_fb = sync_timeit_scalar(g_do, x, params, iters=ITERS, warmup=3)
 
+    us = lambda t: round(t * 1e6, 1) if t is not None else None  # noqa: E731
     res = {"case": name, "tokens": n, "embed": cfg.embed_dim, "group": g,
-           "fwd": {"xla_us": round(t_xla * 1e6, 1),
-                   "pallas_us": round(t_pl * 1e6, 1),
-                   "pallas_dropout_us": round(t_do * 1e6, 1),
+           "fwd": {"xla_us": us(t_xla), "pallas_us": us(t_pl),
+                   "pallas_dropout_us": us(t_do),
                    "speedup": round(t_xla / t_pl, 3)},
-           "fwd_bwd": {"xla_us": round(t_xla_fb * 1e6, 1),
-                       "pallas_us": round(t_pl_fb * 1e6, 1),
-                       "pallas_dropout_us": round(t_do_fb * 1e6, 1),
+           "fwd_bwd": {"xla_us": us(t_xla_fb), "pallas_us": us(t_pl_fb),
+                       "pallas_dropout_us": us(t_do_fb),
                        "speedup": round(t_xla_fb / t_pl_fb, 3)}}
     print(json.dumps(res))
     return res
