@@ -83,8 +83,32 @@ def cmd_train(args) -> int:
         trainer = Trainer(cfg)
     if args.resume:
         trainer.resume()
+    if getattr(args, "warm_start_d", None):
+        _warm_start_d(trainer, args.warm_start_d, cfg)
     trainer.fit()
     return 0
+
+
+def _warm_start_d(trainer, path: str, cfg) -> int:
+    """Warm-start the discriminator from a reference torch checkpoint
+    (ref:src/v2/modules.py:429-440 role, via utils/torch_port) or from another
+    vitgan-tpu run directory's checkpoint."""
+    from vitgan_tpu.utils.torch_port import TORCH_SUFFIXES, import_checkpoint
+
+    if path.endswith(TORCH_SUFFIXES):
+        num_heads = getattr(cfg.model, "num_heads", 4)
+        variables = import_checkpoint(path, cfg.family, role="discriminator",
+                                      num_heads=num_heads)
+    else:
+        from vitgan_tpu.utils.run_dirs import restore_run
+
+        _, _, state, _ = restore_run(path)
+        variables = {"params": state.d_params, "state": state.d_state}
+    loaded = trainer.warm_start_discriminator(variables)
+    if loaded == 0:
+        raise ValueError(f"warm start from {path} matched no leaves — "
+                         "wrong family or model shape?")
+    return loaded
 
 
 def _load_run_state(args):
@@ -312,6 +336,10 @@ def build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("train", help="train a GAN family")
     common(t)
     t.add_argument("--resume", action="store_true")
+    t.add_argument("--warm-start-d", default=None, metavar="PATH",
+                   help="warm-start the discriminator from a checkpoint before "
+                        "training: a reference torch .pth/.pt/.ckpt state_dict "
+                        "(imported via utils/torch_port) or a vitgan-tpu run dir")
     t.set_defaults(fn=cmd_train)
 
     g = sub.add_parser("generate", help="sample images from a checkpoint")

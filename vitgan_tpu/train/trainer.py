@@ -206,16 +206,32 @@ class Trainer:
 
     def warm_start_discriminator(self, source_d_params) -> int:
         """strict=False warm start of D params from another checkpoint's tree
-        (ref:src/v2/modules.py:429-440 role).  Returns #leaves loaded."""
+        (ref:src/v2/modules.py:429-440 role).  Accepts a bare params tree or a
+        ``{"params", "state"}`` variables dict (e.g. utils/torch_port import —
+        conv discriminators carry BN running stats in "state").  Returns
+        #leaves loaded."""
         from vitgan_tpu.utils.checkpoint import partial_load
 
+        source_d_state = None
+        if (isinstance(source_d_params, dict)
+                and set(source_d_params) == {"params", "state"}):
+            source_d_state = source_d_params["state"]
         merged, loaded, _total = partial_load(
-            jax.device_get(self.state.d_params), source_d_params
+            jax.device_get(self.state.d_params),
+            source_d_params["params"] if source_d_state is not None
+            else source_d_params,
         )
+        new_state = self.state.d_state
+        if source_d_state:
+            new_state, s_loaded, _ = partial_load(
+                jax.device_get(self.state.d_state), source_d_state)
+            loaded += s_loaded
+            new_state = jax.tree.map(jax.device_put, new_state)
         self.state = self.state.replace(
             d_params=jax.tree.map(
                 lambda x: jax.device_put(x), merged
-            )
+            ),
+            d_state=new_state,
         )
         from vitgan_tpu.parallel.sharding import shard_train_state
 
