@@ -322,6 +322,25 @@ def test_vit_import_matches_reference_forward():
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
 
 
+def test_reference_v1_discriminator_is_unconstructable():
+    """Documents why there is no v1 torch importer: the reference v1 D crashes
+    at construction (undefined projection_output_size,
+    ref:src/v1/patch_encoder.py:29-34, SURVEY §2.4.1), so no trained v1
+    checkpoint can exist to import."""
+    if not os.path.isdir(REF):
+        pytest.skip("reference checkout not available")
+    os.environ.setdefault("SCRATCH", "/tmp/refscratch")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    try:
+        import importlib
+        mod = importlib.import_module("src.v1.discriminatorViT")
+    except Exception as e:
+        pytest.skip(f"reference v1 modules not importable: {e}")
+    with pytest.raises(AttributeError, match="projection_output_size"):
+        mod.Discriminator()
+
+
 def test_cnngan_import_matches_reference_forward():
     M = _reference_modules()
     rcfg = __import__("importlib").import_module("src.v2.utils").Config(
