@@ -263,6 +263,30 @@ def test_cli_warm_start_from_torch_file(tmp_path):
         sd["discriminator.vit.embedding.pos_embedding"][0], atol=1e-6)
 
 
+def test_cli_generate_from_torch(tmp_path, monkeypatch):
+    """cli generate --from-torch samples from an imported DCGAN generator."""
+    from vitgan_tpu.cli import main
+
+    r = np.random.RandomState(3)
+    gsd = {"main.0.weight": r.randn(100, 256, 4, 4),
+           "main.2.weight": r.randn(256, 128, 4, 4),
+           "main.5.weight": r.randn(128, 64, 4, 4),
+           "main.7.weight": r.randn(64, 3, 4, 4),
+           "main.3.weight": r.randn(128), "main.3.bias": r.randn(128),
+           "main.3.running_mean": r.randn(128),
+           "main.3.running_var": r.rand(128) + 0.5}
+    path = tmp_path / "netG_epoch_14.pth"
+    torch.save({k: torch.from_numpy(np.asarray(v, np.float32))
+                for k, v in gsd.items()}, str(path))
+    monkeypatch.setenv("SCRATCH", str(tmp_path))
+    monkeypatch.setenv("DEV", "1")
+    rc = main(["generate", "--family", "dcgan", "--num-images", "2",
+               "--from-torch", str(path), "--set", "dcgan.base_width=64",
+               "--set", "dcgan.batch_size=2"])
+    assert rc == 0
+    assert (tmp_path / "vitgan_tpu_samples" / "generated_images.png").exists()
+
+
 # ---------------------------------------------------------------------------
 # full-model oracle against the actual reference modules
 # ---------------------------------------------------------------------------

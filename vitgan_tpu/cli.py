@@ -111,6 +111,34 @@ def _warm_start_d(trainer, path: str, cfg) -> int:
     return loaded
 
 
+def _generate_from_torch(args) -> int:
+    """Sample directly from a reference torch generator checkpoint — no run
+    dir needed (migration path: cnn/dcgan generators import cleanly; the v2
+    reference generator is broken, utils/torch_port docstring)."""
+    import jax
+    import numpy as np
+
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.train import make_sample_fn
+    from vitgan_tpu.utils.images import save_image_grid
+    from vitgan_tpu.utils.torch_port import import_checkpoint
+
+    cfg = _build_cfg(args)
+    gan = build_gan(cfg)
+    g_vars = import_checkpoint(args.from_torch, cfg.family, role="generator",
+                               num_heads=getattr(cfg.model, "num_heads", 4))
+    g_vars = jax.tree.map(jax.numpy.asarray, g_vars)
+    sample = make_sample_fn(gan, cfg)
+    z = gan.sample_latent(jax.random.PRNGKey(args.seed or 0), args.num_images)
+    imgs = np.asarray(sample(g_vars, z))
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(args.from_torch)),
+                           "vitgan_tpu_samples")
+    save_image_grid(os.path.join(out_dir, "generated_images.png"), imgs)
+    print(f"wrote {args.num_images} samples to {out_dir} "
+          f"(imported {os.path.basename(args.from_torch)}, family {cfg.family})")
+    return 0
+
+
 def _load_run_state(args):
     """(cfg, gan, state, meta, run_dir) from a run directory's persisted
     config + checkpoint — shared by ``generate`` and ``eval``; the restore
@@ -142,6 +170,8 @@ def cmd_generate(args) -> int:
     from vitgan_tpu.train import make_sample_fn
     from vitgan_tpu.utils.images import save_image_grid
 
+    if getattr(args, "from_torch", None):
+        return _generate_from_torch(args)
     loaded = _load_run_state(args)
     if loaded is None:
         print("no run directory found", file=sys.stderr)
@@ -347,6 +377,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--run-dir", default=None, help="defaults to latest under $SCRATCH/output")
     g.add_argument("--best", action="store_true", help="use the best-FID checkpoint")
     g.add_argument("--num-images", type=int, default=64)
+    g.add_argument("--from-torch", default=None, metavar="PATH",
+                   help="sample from a reference torch generator state_dict "
+                        "(.pth/.pt/.ckpt; families cnn/dcgan) instead of a run dir")
     g.set_defaults(fn=cmd_generate)
 
     e = sub.add_parser("eval", help="FID/KID/precision-recall for a checkpoint")
