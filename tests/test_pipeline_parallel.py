@@ -297,12 +297,125 @@ def test_train_batch_indivisible_fails_loud(pipe_mesh, rng):
                                rtol=2e-5, atol=2e-6)
 
 
-def test_mesh_rejects_pp_tp_combination():
+def test_mesh_allows_pp_tp_combination():
     from vitgan_tpu.config import MeshConfig
     from vitgan_tpu.parallel import make_mesh
 
-    with pytest.raises(ValueError, match="cannot be\\s+combined"):
-        make_mesh(MeshConfig(model_parallel=2, pipeline_parallel=2))
+    mesh = make_mesh(MeshConfig(model_parallel=2, pipeline_parallel=2))
+    assert mesh.shape == {"data": 2, "model": 2, "pipe": 2}
+
+
+def test_pp_tp_forward_and_grad_match(rng):
+    """PP manual over 'pipe' with TP left AUTO ('model'): the stage-local
+    scan runs under GSPMD with the block weights sharded over model — forward
+    and grads must match the sequential replicated loop, and the weight grad
+    must come back with its TP sharding intact."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                axis_names=("pipe", "model"))
+    k1, k2, k3 = jax.random.split(rng, 3)
+    blocks = _toy_blocks(k1, depth=4)
+    x = jax.random.normal(k2, (BATCH, TOK, DIM))
+    cot = jax.random.normal(k3, (BATCH, TOK, DIM))
+    stacked = stack_blocks(blocks)
+    # TP placement: weight columns sharded over model (b sharded to match)
+    stacked = {
+        "w": jax.device_put(stacked["w"],
+                            NamedSharding(mesh, P("pipe", None, "model"))),
+        "b": jax.device_put(stacked["b"], NamedSharding(mesh, P("pipe", "model"))),
+    }
+
+    def run(stacked, x):
+        return pipeline_blocks(stacked, x, mesh=mesh, axis="pipe",
+                               microbatches=4, block_fn=_toy_block_fn,
+                               tp_axis="model")
+
+    got = run(stacked, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_sequential(blocks, x)),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_pp(s, x):
+        return jnp.sum(run(s, x) * cot)
+
+    def loss_seq(blocks, x):
+        return jnp.sum(_sequential(blocks, x) * cot)
+
+    g_pp = jax.jit(jax.grad(loss_pp))(stacked, x)
+    g_seq = jax.grad(loss_seq)(blocks, x)
+    np.testing.assert_allclose(np.asarray(g_pp["w"]),
+                               np.asarray(stack_blocks(g_seq)["w"]),
+                               rtol=1e-4, atol=1e-5)
+    assert "model" in jax.tree.leaves(
+        jax.tree.map(lambda a: a.sharding.spec, g_pp["w"]))[0]
+
+
+def test_pp_tp_train_step_matches_sequential(rng):
+    """One full alternating G/D update with the stacks pipelined AND the
+    attention/MLP width TP-sharded inside each stage gives the same losses
+    as the single-device step."""
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.parallel.sharding import shard_train_state
+    from vitgan_tpu.train import create_train_state, make_train_step
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                axis_names=("pipe", "model"))
+    cfg = _pp_cfg()
+    gan = build_gan(cfg)
+    ppg = pp_bundle(gan, cfg, mesh=mesh, axis="pipe", microbatches=2,
+                    tp_axis="model")
+    real = jax.random.uniform(jax.random.PRNGKey(5),
+                              (cfg.model.batch_size, cfg.model.image_size,
+                               cfg.model.image_size, cfg.model.channels),
+                              minval=-1.0, maxval=1.0)
+    state_a = create_train_state(rng, gan, cfg)
+    state_b = shard_train_state(create_train_state(rng, gan, cfg), mesh,
+                                tensor_parallel=True)
+    _, m_seq = make_train_step(gan, cfg, donate=False)(state_a, real)
+    _, m_pp = make_train_step(ppg, cfg, donate=False)(state_b, real)
+    for key in ("d_loss", "g_loss"):
+        np.testing.assert_allclose(float(m_pp[key]), float(m_seq[key]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_pp_tp_bf16_on_cpu_fails_loud(rng):
+    """bf16 + PP+TP on the CPU backend must raise (upstream XLA:CPU
+    AllReducePromotion abort, scripts/repro_xla_allreduce_bug.py), not
+    crash the process."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                axis_names=("pipe", "model"))
+    blocks = _toy_blocks(rng, depth=2)
+    stacked = jax.tree.map(lambda a: a.astype(jnp.bfloat16), stack_blocks(blocks))
+    stacked = {"w": jax.device_put(stacked["w"],
+                                   NamedSharding(mesh, P("pipe", "model", None))),
+               "b": jax.device_put(stacked["b"], NamedSharding(mesh, P("pipe")))}
+    x = jax.random.normal(rng, (4, TOK, DIM), jnp.bfloat16)
+    with pytest.raises(ValueError, match="AllReducePromotion"):
+        pipeline_blocks(stacked, x, mesh=mesh, axis="pipe", microbatches=2,
+                        block_fn=_toy_block_fn, tp_axis="model")
+
+
+def test_trainer_pp_tp(tmp_path):
+    """mesh.pipeline_parallel=2 x model_parallel=2 through the whole trainer
+    surface (DP x TP x PP on 8 devices)."""
+    from vitgan_tpu import config as C
+    from vitgan_tpu.train.trainer import Trainer
+
+    cfg = C.replace(
+        C.smoke_config("v2"),
+        **{"mesh.pipeline_parallel": 2, "mesh.model_parallel": 2,
+           "v2.depth": 4, "run.steps_per_epoch": 2, "run.fid_num_samples": 16,
+           "run.checkpoint_every_epochs": 0, "run_name": "pptp",
+           # bf16 PP+TP aborts XLA:CPU's AllReducePromotion (upstream bug,
+           # scripts/repro_xla_allreduce_bug.py); f32 on the CPU mesh.
+           "runtime.compute_dtype": "float32"},
+    )
+    tr = Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
+    assert tr.mesh.shape == {"data": 2, "model": 2, "pipe": 2}
+    metrics = tr.fit(epochs=1)
+    assert np.isfinite(metrics["d_loss"]) and np.isfinite(metrics["fid"])
 
 
 def test_pp_bundle_rejects_indivisible_depth(pipe_mesh):

@@ -59,13 +59,6 @@ def make_mesh(
     if n % (mp * pp) != 0:
         raise ValueError(
             f"{n} devices not divisible by model_parallel={mp} x pipeline_parallel={pp}")
-    if pp > 1 and mp > 1:
-        # The pipeline's shard_map specs replicate block params over the model
-        # axis, so TP on the block stack would be silently undone (all-gather
-        # + duplicated compute).  Refuse the combination rather than lie.
-        raise ValueError("model_parallel and pipeline_parallel cannot be "
-                         "combined; shard the blocks one way (DP composes "
-                         "with either)")
     if pp > 1:
         arr = np.array(devices).reshape(n // (mp * pp), mp, pp)
         return Mesh(arr, axis_names=(cfg.data_axis, cfg.model_axis, cfg.pipe_axis))

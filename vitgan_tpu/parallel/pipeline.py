@@ -60,6 +60,7 @@ def pipeline_blocks(
     block_fn: Callable[..., Any],
     rngs: Optional[jnp.ndarray] = None,
     dp_axis: Optional[str] = None,
+    tp_axis: Optional[str] = None,
 ):
     """Apply a stacked block sequence to ``x`` with a GPipe schedule.
 
@@ -79,6 +80,17 @@ def pipeline_blocks(
         masks decorrelate across data shards.
       dp_axis: optional data-parallel mesh axis; x's batch dim is then
         sharded over it (composes DP x PP on one mesh).
+      tp_axis: optional tensor-parallel mesh axis: the shard_map goes manual
+        over ``axis``/``dp_axis`` only, leaving ``tp_axis`` AUTO — inside each
+        stage XLA's SPMD partitioner keeps the blocks' TP shardings
+        (parallel/sharding.py rules ride in on the stacked leaves' GSPMD
+        shardings; ``in_specs`` may only name manual axes) and inserts the TP
+        collectives per tick.  This composes PP x TP (x DP) on one mesh.
+        Caveat: Pallas kernels inside the blocks see auto-axis operands as
+        GSPMD arrays — a custom call forces an all-gather of its TP-sharded
+        operands, so kernel routing should prefer XLA compositions under
+        PP+TP (the default policy thresholds already do at these block
+        sizes).
 
     Returns activations with the same pytree structure and sharding as ``x``:
     equal to applying the blocks sequentially.
@@ -101,6 +113,20 @@ def pipeline_blocks(
     if rngs is not None and tuple(rngs.shape[:2]) != (depth, microbatches):
         raise ValueError(
             f"rngs shape {rngs.shape} != (depth={depth}, microbatches={microbatches}, ...)")
+    if tp_axis and mesh.shape.get(tp_axis, 1) > 1 and jax.default_backend() == "cpu":
+        # Upstream XLA:CPU bug (jax 0.9): AllReducePromotion's CloneAllReduce
+        # aborts the PROCESS ("Invalid binary instruction opcode copy") when
+        # promoting the bf16 contraction all-reduce GSPMD inserts inside the
+        # pipeline tick scan.  TPU is unaffected (bf16 all-reduce is native —
+        # the promotion pass never runs).  Refuse loudly instead of crashing;
+        # scripts/repro_xla_allreduce_bug.py exits 0 once fixed upstream.
+        leaves = jax.tree.leaves(stacked_blocks) + x_leaves
+        if any(getattr(leaf, "dtype", None) == jnp.bfloat16 for leaf in leaves):
+            raise ValueError(
+                "PP+TP with bfloat16 crashes XLA:CPU's AllReducePromotion "
+                "pass (upstream bug; scripts/repro_xla_allreduce_bug.py). "
+                "On the CPU backend use runtime.compute_dtype=float32; "
+                "real TPUs reduce bf16 natively and are unaffected.")
 
     m = microbatches
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
@@ -108,8 +134,11 @@ def pipeline_blocks(
     blk_spec = P(axis)
     rng_specs = (P(axis),) if rngs is not None else ()
     tmap = jax.tree.map
+    # All mesh axes manual (the classic full-manual shard_map), except an
+    # optional tp_axis left auto so GSPMD runs TP inside each stage.
+    manual = frozenset(mesh.axis_names) - ({tp_axis} if tp_axis else set())
 
-    @partial(shard_map, mesh=mesh,
+    @partial(shard_map, mesh=mesh, axis_names=manual,
              in_specs=(blk_spec, x_spec) + rng_specs,
              out_specs=x_spec, check_vma=False)
     def inner(blocks_l, x_l, *rngs_l):
@@ -175,6 +204,11 @@ def pipeline_blocks(
         return tmap(lambda buf, a: buf.reshape(a.shape), outbuf, x_l)
 
     args = (stacked_blocks, x) + ((rngs,) if rngs is not None else ())
+    if tp_axis:
+        # Partial-auto shard_map only canonicalizes its auto-axis output
+        # shardings under jit (eager tracing rejects them in out_specs); the
+        # train step is always jitted, this covers eager eval calls too.
+        return jax.jit(inner)(*args)
     return inner(*args)
 
 
@@ -212,7 +246,8 @@ def _pipelineable_batch(x, mesh: Mesh, microbatches: int,
 
 def make_pp_block_runner(cfg, *, mesh: Mesh, axis: str = "pipe",
                          microbatches: int, train: bool = False,
-                         dp_axis: Optional[str] = None):
+                         dp_axis: Optional[str] = None,
+                         tp_axis: Optional[str] = None):
     """A ``blocks_runner`` for models.vitgan_v2 that pipelines the stack.
 
     Returns ``runner(blocks: list, x, rngs: list | None) -> x`` — the same
@@ -235,14 +270,15 @@ def make_pp_block_runner(cfg, *, mesh: Mesh, axis: str = "pipe",
             microbatches=microbatches, block_fn=block,
             rngs=(_split_per_block_keys(rngs, microbatches)
                   if rngs is not None else None),
-            dp_axis=dp_axis)
+            dp_axis=dp_axis, tp_axis=tp_axis)
 
     return runner
 
 
 def make_pp_v1_generator_runner(tcfg, *, mesh: Mesh, axis: str = "pipe",
                                 microbatches: int, train: bool = False,
-                                dp_axis: Optional[str] = None):
+                                dp_axis: Optional[str] = None,
+                                tp_axis: Optional[str] = None):
     """A ``blocks_runner`` for the v1 SLN generator stack.
 
     The v1 blocks thread ``(h, w)`` — the style vector ``w`` enters every SLN
@@ -273,7 +309,7 @@ def make_pp_v1_generator_runner(tcfg, *, mesh: Mesh, axis: str = "pipe",
                               microbatches=microbatches, block_fn=fn,
                               rngs=(_split_per_block_keys(rngs, microbatches)
                                     if rngs is not None else None),
-                              dp_axis=dp_axis)
+                              dp_axis=dp_axis, tp_axis=tp_axis)
         return out[0]
 
     return runner
@@ -281,7 +317,8 @@ def make_pp_v1_generator_runner(tcfg, *, mesh: Mesh, axis: str = "pipe",
 
 def make_pp_v1_discriminator_runner(tcfg, *, mesh: Mesh, axis: str = "pipe",
                                     microbatches: int, train: bool = False,
-                                    dp_axis: Optional[str] = None):
+                                    dp_axis: Optional[str] = None,
+                                    tp_axis: Optional[str] = None):
     """A ``blocks_runner`` for the v1 ISR/L2-attention discriminator stack.
 
     The ISR power-iteration state is data-INdependent (spectral_rescale's
@@ -314,7 +351,7 @@ def make_pp_v1_discriminator_runner(tcfg, *, mesh: Mesh, axis: str = "pipe",
                                 microbatches=microbatches, block_fn=fn,
                                 rngs=(_split_per_block_keys(rngs, microbatches)
                                       if rngs is not None else None),
-                                dp_axis=dp_axis)
+                                dp_axis=dp_axis, tp_axis=tp_axis)
 
         new_s = blocks_s
         if update_state and blocks_s and "isr" in blocks_s[0].get("msha", {}):
@@ -331,7 +368,7 @@ def make_pp_v1_discriminator_runner(tcfg, *, mesh: Mesh, axis: str = "pipe",
 
 
 def pp_bundle(gan, cfg, *, mesh: Mesh, axis: str = "pipe", microbatches: int,
-              dp_axis: Optional[str] = None):
+              dp_axis: Optional[str] = None, tp_axis: Optional[str] = None):
     """Wrap a GANBundle so its ViT block stacks run pipelined.
 
     Supports the v2 family (G and D stacks) and the v1 family (SLN generator
@@ -359,14 +396,14 @@ def pp_bundle(gan, cfg, *, mesh: Mesh, axis: str = "pipe", microbatches: int,
         def g_apply(variables, z, rng=None, train=False):
             runner = make_pp_block_runner(mcfg, mesh=mesh, axis=axis,
                                           microbatches=microbatches, train=train,
-                                          dp_axis=dp_axis)
+                                          dp_axis=dp_axis, tp_axis=tp_axis)
             return generator_apply(variables, z, mcfg, rng=rng, train=train,
                                    blocks_runner=runner)
 
         def d_apply(variables, images, rng=None, train=False, update_state=False):
             runner = make_pp_block_runner(mcfg, mesh=mesh, axis=axis,
                                           microbatches=microbatches, train=train,
-                                          dp_axis=dp_axis)
+                                          dp_axis=dp_axis, tp_axis=tp_axis)
             return discriminator_apply(variables, images, mcfg, rng=rng, train=train,
                                        update_state=update_state,
                                        blocks_runner=runner)
@@ -379,14 +416,16 @@ def pp_bundle(gan, cfg, *, mesh: Mesh, axis: str = "pipe", microbatches: int,
         def g_apply(variables, z, rng=None, train=False):
             runner = make_pp_v1_generator_runner(
                 mcfg.generator.transformer, mesh=mesh, axis=axis,
-                microbatches=microbatches, train=train, dp_axis=dp_axis)
+                microbatches=microbatches, train=train, dp_axis=dp_axis,
+                tp_axis=tp_axis)
             return generator_apply(variables, z, mcfg, rng=rng, train=train,
                                    blocks_runner=runner)
 
         def d_apply(variables, images, rng=None, train=False, update_state=False):
             runner = make_pp_v1_discriminator_runner(
                 mcfg.discriminator.transformer, mesh=mesh, axis=axis,
-                microbatches=microbatches, train=train, dp_axis=dp_axis)
+                microbatches=microbatches, train=train, dp_axis=dp_axis,
+                tp_axis=tp_axis)
             return discriminator_apply(variables, images, mcfg, rng=rng,
                                        train=train, update_state=update_state,
                                        blocks_runner=runner)

@@ -62,10 +62,12 @@ class Trainer:
 
             dp = (cfg.mesh.data_axis
                   if self.mesh.shape.get(cfg.mesh.data_axis, 1) > 1 else None)
+            tp = (cfg.mesh.model_axis
+                  if self.mesh.shape.get(cfg.mesh.model_axis, 1) > 1 else None)
             self.gan = pp_bundle(self.gan, cfg, mesh=self.mesh,
                                  axis=cfg.mesh.pipe_axis,
                                  microbatches=cfg.mesh.pipeline_microbatches,
-                                 dp_axis=dp)
+                                 dp_axis=dp, tp_axis=tp)
         m = cfg.model
         self.pipeline = make_pipeline(
             cfg.data, m.batch_size, m.image_size, m.channels,
