@@ -397,6 +397,38 @@ def test_pp_tp_bf16_on_cpu_fails_loud(rng):
                         block_fn=_toy_block_fn, tp_axis="model")
 
 
+def test_v1_pp_tp_train_step_matches_sequential(rng):
+    """v1 family under PP x TP: both stacks pipelined with the per-head
+    qkv/ISR leaves TP-sharded inside each stage (parallel/sharding.py rules
+    shard the head axis; smoke v1 has 4 heads / 2 model shards).  Losses AND
+    the ISR power-iteration state must match the sequential step."""
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.parallel.sharding import shard_train_state
+    from vitgan_tpu.train import create_train_state, make_train_step
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                axis_names=("pipe", "model"))
+    cfg = _v1_pp_cfg()
+    gan = build_gan(cfg)
+    ppg = pp_bundle(gan, cfg, mesh=mesh, axis="pipe", microbatches=2,
+                    tp_axis="model")
+    real = jax.random.uniform(jax.random.PRNGKey(5),
+                              (cfg.model.batch_size, cfg.model.image_size,
+                               cfg.model.image_size, cfg.model.channels),
+                              minval=-1.0, maxval=1.0)
+    s_seq, m_seq = make_train_step(gan, cfg, donate=False)(
+        create_train_state(rng, gan, cfg), real)
+    state_tp = shard_train_state(create_train_state(rng, gan, cfg), mesh,
+                                 tensor_parallel=True)
+    s_pp, m_pp = make_train_step(ppg, cfg, donate=False)(state_tp, real)
+    for key in ("d_loss", "g_loss"):
+        np.testing.assert_allclose(float(m_pp[key]), float(m_seq[key]),
+                                   rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_pp.d_state), jax.tree.leaves(s_seq.d_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_trainer_pp_tp(tmp_path):
     """mesh.pipeline_parallel=2 x model_parallel=2 through the whole trainer
     surface (DP x TP x PP on 8 devices)."""

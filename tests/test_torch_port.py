@@ -263,6 +263,51 @@ def test_cli_warm_start_from_torch_file(tmp_path):
         sd["discriminator.vit.embedding.pos_embedding"][0], atol=1e-6)
 
 
+def _assert_trees_equal(a, b, atol=0.0):
+    fa = jax.tree_util.tree_flatten_with_path(a)[0]
+    fb = jax.tree_util.tree_flatten_with_path(b)[0]
+    assert [p for p, _ in fa] == [p for p, _ in fb]
+    for (_, va), (_, vb) in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=atol)
+
+
+def test_export_import_roundtrip_exact():
+    """utils/torch_export is the exact inverse of utils/torch_port for every
+    covered family — bit-exact round trips."""
+    from vitgan_tpu.models import cnngan
+    from vitgan_tpu.utils import torch_export as TE
+
+    cfg = C.V2Config(image_size=16, patch_size=4, embed_dim=8, num_heads=2,
+                     depth=2, mlp_ratio=2)
+    d = V2.discriminator_init(jax.random.PRNGKey(3), cfg)
+    back = TP.convert_vit_discriminator(
+        TE.export_checkpoint(d, "v2", channels=cfg.channels), cfg.num_heads)
+    _assert_trees_equal(back, jax.device_get(d))
+
+    ccfg = C.CNNGANConfig()
+    g = cnngan.generator_init(jax.random.PRNGKey(4), ccfg)
+    dd = cnngan.discriminator_init(jax.random.PRNGKey(5), ccfg)
+    _assert_trees_equal(TP.convert_cnn_generator(TE.export_cnn_generator(g)),
+                        jax.device_get(g))
+    _assert_trees_equal(
+        TP.convert_cnn_discriminator(TE.export_cnn_discriminator(dd)),
+        jax.device_get(dd))
+
+    dcfg = C.DCGANConfig()
+    g2 = DC.generator_init(jax.random.PRNGKey(6), dcfg)
+    d2 = DC.discriminator_init(jax.random.PRNGKey(7), dcfg)
+    _assert_trees_equal(TP.convert_dcgan_generator(TE.export_dcgan_generator(g2)),
+                        jax.device_get(g2))
+    _assert_trees_equal(
+        TP.convert_dcgan_discriminator(TE.export_dcgan_discriminator(d2)),
+        jax.device_get(d2))
+
+    with pytest.raises(ValueError):
+        TE.export_checkpoint(d, "v2", role="generator")
+    with pytest.raises(ValueError):
+        TE.export_checkpoint(d, "v1")
+
+
 def test_cli_generate_from_torch(tmp_path, monkeypatch):
     """cli generate --from-torch samples from an imported DCGAN generator."""
     from vitgan_tpu.cli import main
@@ -363,6 +408,32 @@ def test_reference_v1_discriminator_is_unconstructable():
         pytest.skip(f"reference v1 modules not importable: {e}")
     with pytest.raises(AttributeError, match="projection_output_size"):
         mod.Discriminator()
+
+
+def test_export_loads_into_reference_strict():
+    """An exported state_dict loads into the ACTUAL reference modules with
+    strict=True, and the reference forward equals ours on the same weights —
+    the bidirectional parity proof."""
+    M = _reference_modules()
+    cfg = C.V2Config(image_size=16, patch_size=4, embed_dim=16, num_heads=2,
+                     depth=2, mlp_ratio=2, dropout=0.0)
+    from vitgan_tpu.utils import torch_export as TE
+
+    params = V2.vit_init(jax.random.PRNGKey(11), cfg, n_classes=5)
+    sd = TE.export_vit(jax.device_get(params), channels=cfg.channels)
+    vit = M.VisionTransformer(n_channels=3, embed_dim=cfg.embed_dim,
+                              n_layers=cfg.depth, n_attention_heads=cfg.num_heads,
+                              forward_mul=cfg.mlp_ratio, image_size=cfg.image_size,
+                              patch_size=cfg.patch_size, n_classes=5,
+                              dropout=0.0).eval()
+    vit.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                         for k, v in sd.items()}, strict=True)
+    x = torch.randn(3, 3, cfg.image_size, cfg.image_size,
+                    generator=torch.Generator().manual_seed(2))
+    with torch.no_grad():
+        want = vit(x).numpy()
+    got = V2.vit_apply(params, jnp.asarray(x.permute(0, 2, 3, 1).numpy()), cfg)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
 
 
 def test_cnngan_import_matches_reference_forward():

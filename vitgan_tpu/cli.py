@@ -139,6 +139,29 @@ def _generate_from_torch(args) -> int:
     return 0
 
 
+def cmd_export_torch(args) -> int:
+    """Export a trained checkpoint to a reference-format torch state_dict
+    (.pth) so it drops into torch tooling (utils/torch_export)."""
+    import jax
+
+    from vitgan_tpu.utils.torch_export import save_torch_checkpoint
+
+    loaded = _load_run_state(args)
+    if loaded is None:
+        print("no run directory found", file=sys.stderr)
+        return 1
+    cfg, gan, state, meta, run_dir = loaded
+    if args.role == "generator":
+        variables = jax.device_get(state.g_vars_ema)
+    else:
+        variables = jax.device_get({"params": state.d_params, "state": state.d_state})
+    out = args.out or os.path.join(run_dir, f"{cfg.family}_{args.role}.pth")
+    save_torch_checkpoint(out, variables, cfg.family, role=args.role,
+                          channels=cfg.model.channels)
+    print(f"exported {cfg.family} {args.role} (ckpt step {meta.get('step')}) -> {out}")
+    return 0
+
+
 def _load_run_state(args):
     """(cfg, gan, state, meta, run_dir) from a run directory's persisted
     config + checkpoint — shared by ``generate`` and ``eval``; the restore
@@ -381,6 +404,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sample from a reference torch generator state_dict "
                         "(.pth/.pt/.ckpt; families cnn/dcgan) instead of a run dir")
     g.set_defaults(fn=cmd_generate)
+
+    x = sub.add_parser("export-torch", help="export a checkpoint to a reference-"
+                       "format torch state_dict (.pth)")
+    common(x)
+    x.add_argument("--run-dir", default=None)
+    x.add_argument("--best", action="store_true")
+    x.add_argument("--role", choices=("generator", "discriminator"),
+                   default="discriminator",
+                   help="v2 exports the discriminator only (the reference v2 "
+                        "generator is dimensionally broken); cnn/dcgan export both")
+    x.add_argument("--out", default=None, help="defaults to <run-dir>/<family>_<role>.pth")
+    x.set_defaults(fn=cmd_export_torch)
 
     e = sub.add_parser("eval", help="FID/KID/precision-recall for a checkpoint")
     common(e)
