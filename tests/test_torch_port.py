@@ -332,6 +332,40 @@ def test_cli_generate_from_torch(tmp_path, monkeypatch):
     assert (tmp_path / "vitgan_tpu_samples" / "generated_images.png").exists()
 
 
+def test_cli_import_torch_materializes_run(tmp_path, monkeypatch):
+    """cli import-torch creates a run dir that generate restores from; roles
+    the state_dict doesn't carry are auto-skipped."""
+    from vitgan_tpu.cli import main
+
+    r = np.random.RandomState(8)
+    gsd = {"main.0.weight": r.randn(100, 256, 4, 4),
+           "main.2.weight": r.randn(256, 128, 4, 4),
+           "main.5.weight": r.randn(128, 64, 4, 4),
+           "main.7.weight": r.randn(64, 3, 4, 4),
+           "main.3.weight": r.randn(128), "main.3.bias": r.randn(128),
+           "main.3.running_mean": r.randn(128),
+           "main.3.running_var": r.rand(128) + 0.5}
+    path = tmp_path / "netG.pth"
+    torch.save({k: torch.from_numpy(np.asarray(v, np.float32))
+                for k, v in gsd.items()}, str(path))
+    monkeypatch.setenv("SCRATCH", str(tmp_path))
+    monkeypatch.setenv("DEV", "1")
+    rc = main(["import-torch", str(path), "--family", "dcgan",
+               "--run-name", "imp", "--set", "dcgan.base_width=64",
+               "--set", "dcgan.batch_size=2"])
+    assert rc == 0
+    assert (tmp_path / "output" / "imp" / "config.json").exists()
+    rc = main(["generate", "--run-dir", str(tmp_path / "output" / "imp"),
+               "--num-images", "2"])
+    assert rc == 0
+    assert (tmp_path / "output" / "imp" / "test" / "generated_images.png").exists()
+    # explicit role that doesn't fit must fail loud
+    with pytest.raises(ValueError):
+        main(["import-torch", str(path), "--family", "dcgan",
+              "--run-name", "imp2", "--roles", "discriminator",
+              "--set", "dcgan.base_width=64"])
+
+
 # ---------------------------------------------------------------------------
 # full-model oracle against the actual reference modules
 # ---------------------------------------------------------------------------

@@ -139,6 +139,82 @@ def _generate_from_torch(args) -> int:
     return 0
 
 
+def cmd_import_torch(args) -> int:
+    """Materialize a reference torch checkpoint as a first-class run dir
+    (persisted config + orbax checkpoint at step 0), so ``generate``,
+    ``serve``, ``eval`` and ``train --resume`` (fine-tuning) all work on it
+    through the one restore path (utils/run_dirs.restore_run)."""
+    import jax
+
+    from vitgan_tpu import config as C
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.train import create_train_state
+    from vitgan_tpu.utils.checkpoint import CheckpointManager, partial_load
+    from vitgan_tpu.utils.run_dirs import construct_directories
+    from vitgan_tpu.utils.torch_port import import_checkpoint, load_torch_state_dict
+
+    cfg = _build_cfg(args)
+    # Same runtime policy the trainer and restore_run apply (PRNG impl etc.),
+    # so the saved state matches the restore template exactly.
+    from vitgan_tpu.ops.policy import apply_from_runtime
+
+    apply_from_runtime(cfg.runtime)
+    gan = build_gan(cfg)
+    state = create_train_state(jax.random.PRNGKey(cfg.model.seed), gan, cfg)
+    num_heads = getattr(cfg.model, "num_heads", 4)
+    sd = load_torch_state_dict(args.path)
+
+    roles = (args.roles.split(",") if args.roles else
+             (["discriminator"] if cfg.family == "v2"
+              else ["generator", "discriminator"]))
+    imported = []
+    for role in roles:
+        try:
+            variables = import_checkpoint(sd, cfg.family, role=role,
+                                          num_heads=num_heads)
+        except (KeyError, ValueError) as e:
+            # KeyError: role's keys absent.  ValueError: keys present but the
+            # wrong module (e.g. a DCGAN G-only state_dict also has
+            # main.0.weight, so the D mapping hits a BN leaf with conv axes).
+            if args.roles:  # explicitly requested -> fail loud
+                raise
+            print(f"[import-torch] {role} does not fit this state_dict "
+                  f"({type(e).__name__}: {e}); skipped", file=sys.stderr)
+            continue
+        target = ({"params": state.d_params, "state": state.d_state}
+                  if role == "discriminator" else
+                  {"params": state.g_params, "state": state.g_state})
+        merged, n, total = partial_load(jax.device_get(target), variables)
+        if n != total:
+            raise ValueError(
+                f"{role}: only {n}/{total} leaves matched — model shape "
+                f"mismatch (check --family and --set model overrides)")
+        if role == "discriminator":
+            state = state.replace(d_params=merged["params"], d_state=merged["state"])
+        else:
+            state = state.replace(g_params=merged["params"], g_state=merged["state"])
+            if state.g_ema is not None:
+                state = state.replace(
+                    g_ema=jax.tree.map(lambda x: x.copy(), merged["params"]))
+        imported.append(role)
+    if not imported:
+        print("no role could be imported from this state_dict", file=sys.stderr)
+        return 1
+
+    run_name = args.run_name or (
+        f"imported_{os.path.splitext(os.path.basename(args.path))[0]}")
+    cfg = C.replace(cfg, run_name=run_name)
+    dirs = construct_directories(run_name)
+    C.save_config(cfg, os.path.join(dirs.root, "config.json"))
+    ckpts = CheckpointManager(dirs.checkpoints, keep=cfg.run.keep_checkpoints)
+    ckpts.save(0, jax.device_get(state),
+               {"epoch": 0, "imported_from": os.path.abspath(args.path),
+                "imported_roles": imported})
+    ckpts.wait()
+    print(f"imported {cfg.family} {'+'.join(imported)} from {args.path} -> {dirs.root}")
+    return 0
+
+
 def cmd_export_torch(args) -> int:
     """Export a trained checkpoint to a reference-format torch state_dict
     (.pth) so it drops into torch tooling (utils/torch_export)."""
@@ -404,6 +480,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sample from a reference torch generator state_dict "
                         "(.pth/.pt/.ckpt; families cnn/dcgan) instead of a run dir")
     g.set_defaults(fn=cmd_generate)
+
+    i = sub.add_parser("import-torch", help="materialize a reference torch "
+                       "checkpoint as a run dir (generate/serve/eval/fine-tune "
+                       "all work on it)")
+    common(i)
+    i.add_argument("path", help="reference .pth/.pt/.ckpt state_dict")
+    i.add_argument("--roles", default=None,
+                   help="comma list of generator,discriminator; defaults to "
+                        "discriminator for v2 and whatever the state_dict "
+                        "carries for cnn/dcgan")
+    i.set_defaults(fn=cmd_import_torch)
 
     x = sub.add_parser("export-torch", help="export a checkpoint to a reference-"
                        "format torch state_dict (.pth)")
