@@ -143,6 +143,23 @@ def test_vit_discriminator_import_structure():
     assert _tree_shapes(got) == _tree_shapes(want)
 
 
+def test_vit_discriminator_import_slices_reference_head():
+    """Reference-default checkpoints have a 10-class head
+    (ref:src/v2/utils.py:28); importing as a GAN discriminator slices to
+    logit 0 so the tree matches discriminator_init leaf-for-leaf."""
+    cfg = C.V2Config(image_size=16, patch_size=4, embed_dim=8, num_heads=2,
+                     depth=2, mlp_ratio=2)
+    sd = _synthetic_vit_sd(cfg, n_classes=10, prefix="vit.")
+    got = TP.convert_vit_discriminator(sd, cfg.num_heads)
+    want = V2.discriminator_init(jax.random.PRNGKey(0), cfg)
+    assert _tree_shapes(got) == _tree_shapes(want)
+    np.testing.assert_allclose(got["params"]["head_fc2"]["w"][:, 0],
+                               sd["vit.classifier.fc2.weight"][0])
+    # the full head survives with slice_head=False (classifier targets)
+    full = TP.convert_vit_discriminator(sd, cfg.num_heads, slice_head=False)
+    assert full["params"]["head_fc2"]["w"].shape[-1] == 10
+
+
 def test_cnn_and_dcgan_import_structure():
     r = np.random.RandomState(1)
 
@@ -364,6 +381,27 @@ def test_cli_import_torch_materializes_run(tmp_path, monkeypatch):
         main(["import-torch", str(path), "--family", "dcgan",
               "--run-name", "imp2", "--roles", "discriminator",
               "--set", "dcgan.base_width=64"])
+    # role typos fail with the actual problem named, not a shape mismatch
+    with pytest.raises(ValueError, match="unknown role"):
+        main(["import-torch", str(path), "--family", "dcgan",
+              "--run-name", "imp3", "--roles", "Generator"])
+
+
+def test_cli_import_torch_reference_default_v2(tmp_path, monkeypatch):
+    """The README flagship flow: a reference-default (10-class-head) v2
+    ViTGAN checkpoint imports into a run dir without shape errors."""
+    from vitgan_tpu.cli import main
+
+    cfg = C.replace(C.smoke_config("v2"), run_name="x").model
+    sd = _synthetic_vit_sd(cfg, n_classes=10, prefix="discriminator.vit.")
+    path = tmp_path / "best_model_epoch_9_fid_88.pth"
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, str(path))
+    monkeypatch.setenv("SCRATCH", str(tmp_path))
+    monkeypatch.setenv("DEV", "1")
+    rc = main(["import-torch", str(path), "--family", "v2",
+               "--run-name", "impv2"])
+    assert rc == 0
+    assert (tmp_path / "output" / "impv2" / "config.json").exists()
 
 
 # ---------------------------------------------------------------------------

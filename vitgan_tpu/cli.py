@@ -83,7 +83,14 @@ def cmd_train(args) -> int:
         trainer = Trainer(cfg)
     if args.resume:
         trainer.resume()
-    if getattr(args, "warm_start_d", None):
+        if getattr(args, "warm_start_d", None):
+            # Resuming restored a trained D (+ its optimizer moments);
+            # re-applying the warm start would roll D back to the import
+            # while G keeps its resumed weights — skip it.
+            print("[vitgan-tpu] --warm-start-d ignored on --resume (the "
+                  "resumed checkpoint already carries the trained D)",
+                  file=sys.stderr)
+    elif getattr(args, "warm_start_d", None):
         _warm_start_d(trainer, args.warm_start_d, cfg)
     trainer.fit()
     return 0
@@ -100,10 +107,14 @@ def _warm_start_d(trainer, path: str, cfg) -> int:
         variables = import_checkpoint(path, cfg.family, role="discriminator",
                                       num_heads=num_heads)
     else:
+        from vitgan_tpu.ops.policy import apply_from_runtime
         from vitgan_tpu.utils.run_dirs import restore_run
 
         _, _, state, _ = restore_run(path)
         variables = {"params": state.d_params, "state": state.d_state}
+        # restore_run applied the SOURCE run's runtime policy globally
+        # (kernel routing, PRNG impl); re-assert this training run's.
+        apply_from_runtime(cfg.runtime)
     loaded = trainer.warm_start_discriminator(variables)
     if loaded == 0:
         raise ValueError(f"warm start from {path} matched no leaves — "
@@ -164,9 +175,15 @@ def cmd_import_torch(args) -> int:
     num_heads = getattr(cfg.model, "num_heads", 4)
     sd = load_torch_state_dict(args.path)
 
-    roles = (args.roles.split(",") if args.roles else
-             (["discriminator"] if cfg.family == "v2"
-              else ["generator", "discriminator"]))
+    if args.roles:
+        roles = [r.strip() for r in args.roles.split(",")]
+        bad = [r for r in roles if r not in ("generator", "discriminator")]
+        if bad:
+            raise ValueError(f"unknown role(s) {bad}; valid: generator, "
+                             "discriminator")
+    else:
+        roles = (["discriminator"] if cfg.family == "v2"
+                 else ["generator", "discriminator"])
     imported = []
     for role in roles:
         try:

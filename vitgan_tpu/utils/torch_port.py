@@ -211,15 +211,25 @@ def _detect_vit_prefix(sd) -> str:
 
 
 def convert_vit_discriminator(sd: Dict[str, np.ndarray], num_heads: int,
-                              prefix: Optional[str] = None) -> Dict[str, Any]:
+                              prefix: Optional[str] = None,
+                              slice_head: bool = True) -> Dict[str, Any]:
     """ViT discriminator variables from any reference v2 ViT state_dict.
 
-    The imported head keeps the checkpoint's class count; our
-    discriminator_apply scores logit 0 (the single-logit head is this
-    framework's §2.4.9 fix, a 10-class reference head still loads and scores).
+    The reference D head is ``classes_count``-wide (default 10,
+    ref:src/v2/utils.py:28); our GAN-coherent D is single-logit (§2.4.9) and
+    ``discriminator_apply`` scores logit 0 — so by default a wider imported
+    head is SLICED to its first logit, making the tree drop into
+    ``discriminator_init`` templates leaf-for-leaf (the scored function is
+    unchanged).  Pass ``slice_head=False`` to keep the full classifier head
+    (e.g. when targeting ``vit_init`` with the checkpoint's class count).
     """
     pfx = _detect_vit_prefix(sd) if prefix is None else prefix
-    return {"params": convert_vit(sd, num_heads, pfx), "state": {}}
+    params = convert_vit(sd, num_heads, pfx)
+    hf2 = params["head_fc2"]
+    if slice_head and hf2["w"].shape[-1] > 1:
+        params["head_fc2"] = {"w": np.ascontiguousarray(hf2["w"][:, :1]),
+                              "b": hf2["b"][:1]}
+    return {"params": params, "state": {}}
 
 
 # ---------------------------------------------------------------------------
