@@ -387,6 +387,33 @@ def test_cli_import_torch_materializes_run(tmp_path, monkeypatch):
               "--run-name", "imp3", "--roles", "Generator"])
 
 
+def test_serve_loads_imported_run(tmp_path, monkeypatch):
+    """An import-torch run dir drops into the serving restore path
+    (serve.load_service) like any trained run."""
+    from vitgan_tpu.cli import main
+    from vitgan_tpu.serve import load_service
+
+    r = np.random.RandomState(9)
+    gsd = {"main.0.weight": r.randn(100, 256, 4, 4),
+           "main.2.weight": r.randn(256, 128, 4, 4),
+           "main.5.weight": r.randn(128, 64, 4, 4),
+           "main.7.weight": r.randn(64, 3, 4, 4),
+           "main.3.weight": r.randn(128), "main.3.bias": r.randn(128),
+           "main.3.running_mean": r.randn(128),
+           "main.3.running_var": r.rand(128) + 0.5}
+    path = tmp_path / "netG.pth"
+    torch.save({k: torch.from_numpy(np.asarray(v, np.float32))
+                for k, v in gsd.items()}, str(path))
+    monkeypatch.setenv("SCRATCH", str(tmp_path))
+    monkeypatch.setenv("DEV", "1")
+    assert main(["import-torch", str(path), "--family", "dcgan",
+                 "--run-name", "srv", "--set", "dcgan.base_width=64",
+                 "--set", "dcgan.batch_size=2"]) == 0
+    svc = load_service(str(tmp_path / "output" / "srv"), batch=2)
+    imgs = svc.sample(2, seed=0)
+    assert imgs.shape == (2, 32, 32, 3) and np.isfinite(np.asarray(imgs)).all()
+
+
 def test_cli_import_torch_reference_default_v2(tmp_path, monkeypatch):
     """The README flagship flow: a reference-default (10-class-head) v2
     ViTGAN checkpoint imports into a run dir without shape errors."""
