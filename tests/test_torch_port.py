@@ -414,6 +414,63 @@ def test_serve_loads_imported_run(tmp_path, monkeypatch):
     assert imgs.shape == (2, 32, 32, 3) and np.isfinite(np.asarray(imgs)).all()
 
 
+def test_finetune_from_imported_run(tmp_path, monkeypatch):
+    """train --resume on an import-torch run dir fine-tunes the imported
+    weights (restores step 0, then trains)."""
+    from vitgan_tpu.cli import main
+
+    r = np.random.RandomState(10)
+    gsd = {"main.0.weight": r.randn(100, 256, 4, 4),
+           "main.2.weight": r.randn(256, 128, 4, 4),
+           "main.5.weight": r.randn(128, 64, 4, 4),
+           "main.7.weight": r.randn(64, 3, 4, 4),
+           "main.3.weight": r.randn(128), "main.3.bias": r.randn(128),
+           "main.3.running_mean": r.randn(128),
+           "main.3.running_var": r.rand(128) + 0.5}
+    path = tmp_path / "netG.pth"
+    torch.save({k: torch.from_numpy(np.asarray(v, np.float32))
+                for k, v in gsd.items()}, str(path))
+    monkeypatch.setenv("SCRATCH", str(tmp_path))
+    monkeypatch.setenv("DEV", "1")
+    sets = ["--set", "dcgan.base_width=64", "--set", "dcgan.batch_size=8"]
+    assert main(["import-torch", str(path), "--family", "dcgan",
+                 "--run-name", "ft"] + sets) == 0
+    rc = main(["train", "--family", "dcgan", "--dataset", "synthetic",
+               "--epochs", "1", "--run-name", "ft", "--resume"] + sets)
+    assert rc == 0
+    # a later checkpoint than the imported step-0 one exists
+    ckpts = sorted(os.listdir(tmp_path / "output" / "ft" / "checkpoints"))
+    assert any(c.startswith("step_") and not c.endswith("0" * 10)
+               and not c.endswith(".json") for c in ckpts)
+
+
+def test_cli_export_torch_roundtrip(tmp_path, monkeypatch):
+    """cli export-torch writes a .pth that import_checkpoint reads back with
+    the exact same values the run dir holds."""
+    from vitgan_tpu.cli import main
+
+    monkeypatch.setenv("SCRATCH", str(tmp_path))
+    monkeypatch.setenv("DEV", "1")
+    assert main(["train", "--family", "dcgan", "--dataset", "synthetic",
+                 "--epochs", "1", "--run-name", "exp"]) == 0
+    run_dir = str(tmp_path / "output" / "exp")
+    assert main(["export-torch", "--run-dir", run_dir, "--role", "generator"]) == 0
+    out = os.path.join(run_dir, "dcgan_generator.pth")
+    imported = TP.import_checkpoint(out, "dcgan", role="generator")
+    from vitgan_tpu.utils.run_dirs import restore_run
+
+    _, _, state, _ = restore_run(run_dir)
+    want = jax.device_get(state.g_vars_ema)
+    got_leaves = jax.tree_util.tree_flatten_with_path(imported)[0]
+    want_leaves = {tuple(str(k) for k in p): v for p, v in
+                   jax.tree_util.tree_flatten_with_path(want)[0]}
+    assert got_leaves
+    for p, v in got_leaves:
+        np.testing.assert_allclose(np.asarray(v),
+                                   np.asarray(want_leaves[tuple(str(k) for k in p)]),
+                                   atol=1e-6)
+
+
 def test_cli_import_torch_reference_default_v2(tmp_path, monkeypatch):
     """The README flagship flow: a reference-default (10-class-head) v2
     ViTGAN checkpoint imports into a run dir without shape errors."""
