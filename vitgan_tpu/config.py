@@ -251,6 +251,15 @@ class MeshConfig:
     # GPipe microbatches per step; bubble fraction = (S-1)/(M+S-1).  Batches
     # that don't divide (per data shard) fall back to the sequential stack.
     pipeline_microbatches: int = 2
+    # ZeRO-style fully-sharded data parallelism: parameters AND optimizer
+    # moments shard over the data axis (largest divisible dim per leaf; tiny
+    # leaves stay replicated).  XLA inserts the per-use all-gathers and the
+    # reduce-scatter of gradients from the placements alone.  Composes with
+    # tensor parallelism (TP rules claim their axis first).
+    fsdp: bool = False
+    # Leaves smaller than this many elements stay replicated under FSDP
+    # (sharding tiny tensors costs more collective latency than it saves).
+    fsdp_min_size: int = 2048
 
 
 @dataclass(frozen=True)

@@ -75,14 +75,54 @@ def shard_params_tp(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(jax.device_put, tree, tp_shardings(tree, mesh))
 
 
-def shard_train_state(state, mesh: Mesh, tensor_parallel: bool = False):
-    """Place a TrainState: batch-independent leaves replicated or TP-sharded.
+def _fsdp_extend(leaf, spec: P, mesh: Mesh, data_axis: str, min_size: int) -> P:
+    """Add ``data``-axis sharding to a leaf's spec (ZeRO / fully-sharded DP):
+    the largest still-unsharded dim divisible by the data-axis size takes it.
+    Tiny leaves (< min_size elements) and scalars stay as they are — sharding
+    them costs more collective latency than the bytes saved."""
+    n = mesh.shape.get(data_axis, 1)
+    ndim = getattr(leaf, "ndim", 0)
+    if n <= 1 or ndim == 0 or leaf.size < min_size:
+        return spec
+    dims = list(spec) + [None] * (ndim - len(spec))
+    for i in sorted(range(ndim), key=lambda i: -leaf.shape[i]):
+        if dims[i] is None and leaf.shape[i] % n == 0:
+            dims[i] = data_axis
+            return P(*dims)
+    return spec
 
-    Optimizer state mirrors the parameter shardings automatically because optax
-    states are pytrees with the same leaf shapes (moments) — they are placed
-    with the same rule set.
+
+def fsdp_shardings(tree: Any, mesh: Mesh, tensor_parallel: bool = False,
+                   data_axis: str = "data", min_size: int = 2048) -> Any:
+    """NamedSharding pytree for fully-sharded DP, composed with the TP rules
+    (TP claims the head/width axes first; FSDP takes the largest free dim)."""
+
+    def one(path, leaf):
+        spec = _spec_for(path, leaf) if tensor_parallel else P()
+        if spec != P() and not _divisible(leaf, spec, mesh):
+            spec = P()
+        return NamedSharding(mesh, _fsdp_extend(leaf, spec, mesh, data_axis,
+                                                min_size))
+
+    flat = jax.tree_util.tree_flatten_with_path(tree)
+    leaves = [one(p, v) for p, v in flat[0]]
+    return jax.tree_util.tree_unflatten(flat[1], leaves)
+
+
+def shard_train_state(state, mesh: Mesh, tensor_parallel: bool = False,
+                      fsdp: bool = False, fsdp_min_size: int = 2048):
+    """Place a TrainState: batch-independent leaves replicated, TP-sharded,
+    and/or FSDP-sharded over the data axis (parameters AND optimizer moments —
+    optax states are pytrees with the same leaf shapes, so one rule set
+    places everything).
     """
-    if not tensor_parallel or mesh.shape.get("model", 1) == 1:
+    use_tp = tensor_parallel and mesh.shape.get("model", 1) > 1
+    if fsdp and mesh.shape.get("data", 1) > 1:
+        return jax.tree.map(
+            jax.device_put, state,
+            fsdp_shardings(state, mesh, tensor_parallel=use_tp,
+                           min_size=fsdp_min_size))
+    if not use_tp:
         repl = NamedSharding(mesh, P())
         return jax.tree.map(lambda x: jax.device_put(x, repl), state)
     return jax.tree.map(jax.device_put, state, tp_shardings(state, mesh))

@@ -224,14 +224,33 @@ def make_raw_train_step(gan: GANBundle, cfg: ExperimentConfig):
     return step
 
 
-def make_train_step(gan: GANBundle, cfg: ExperimentConfig, donate: bool = True):
-    """Build the jitted (state, real_images) -> (state, metrics) step."""
-    return jax.jit(make_raw_train_step(gan, cfg),
-                   donate_argnums=(0,) if donate else ())
+def _pin_state(state, shardings):
+    """Pin the updated state to its input placements (FSDP): without this the
+    compiler may re-replicate small updated leaves, silently undoing the
+    sharding from step 2 onward."""
+    if shardings is None:
+        return state
+    return jax.tree.map(jax.lax.with_sharding_constraint, state, shardings)
+
+
+def make_train_step(gan: GANBundle, cfg: ExperimentConfig, donate: bool = True,
+                    state_shardings=None):
+    """Build the jitted (state, real_images) -> (state, metrics) step.
+
+    ``state_shardings``: optional pytree of NamedShardings matching the state
+    (e.g. FSDP placements) — the returned state is constrained to them.
+    """
+    raw_step = make_raw_train_step(gan, cfg)
+
+    def step(state: TrainState, real: jnp.ndarray):
+        s2, m = raw_step(state, real)
+        return _pin_state(s2, state_shardings), m
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def make_multi_train_step(gan: GANBundle, cfg: ExperimentConfig, n_steps: int,
-                          donate: bool = True):
+                          donate: bool = True, state_shardings=None):
     """Scan ``n_steps`` alternating updates in ONE device call.
 
     Input: (state, reals) with reals (n_steps, B, H, W, C) — a stack of
@@ -246,7 +265,7 @@ def make_multi_train_step(gan: GANBundle, cfg: ExperimentConfig, n_steps: int,
     def multi(state: TrainState, reals: jnp.ndarray):
         def body(s, real):
             s2, m = raw_step(s, real)
-            return s2, m
+            return _pin_state(s2, state_shardings), m
 
         return jax.lax.scan(body, state, reals, unroll=unroll)
 
@@ -254,7 +273,7 @@ def make_multi_train_step(gan: GANBundle, cfg: ExperimentConfig, n_steps: int,
 
 
 def make_device_data_train_fn(gan: GANBundle, cfg: ExperimentConfig, n_steps: int,
-                              donate: bool = True):
+                              donate: bool = True, state_shardings=None):
     """Device-resident-dataset training: scan K updates with ON-DEVICE batch
     assembly.
 
@@ -278,7 +297,7 @@ def make_device_data_train_fn(gan: GANBundle, cfg: ExperimentConfig, n_steps: in
                 do = jax.random.bernoulli(krng, 0.5, (real.shape[0], 1, 1, 1))
                 real = jnp.where(do, real[:, :, ::-1, :], real)
             s2, m = raw_step(s, real)
-            return s2, m
+            return _pin_state(s2, state_shardings), m
 
         return jax.lax.scan(body, state, indices, unroll=unroll)
 

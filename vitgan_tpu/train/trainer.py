@@ -74,13 +74,29 @@ class Trainer:
             mesh=self.mesh, seed=m.seed,
             synthetic_samples=cfg.data.synthetic_samples,
         )
-        self.train_step = make_train_step(self.gan, cfg, donate=cfg.runtime.donate_state)
+        key = jax.random.PRNGKey(m.seed)
+        from vitgan_tpu.parallel.sharding import shard_train_state
+
+        self.state = shard_train_state(
+            create_train_state(key, self.gan, cfg), self.mesh,
+            tensor_parallel=cfg.mesh.model_parallel > 1,
+            fsdp=cfg.mesh.fsdp, fsdp_min_size=cfg.mesh.fsdp_min_size,
+        )
+        # Under FSDP the step must pin its output state to the input
+        # placements — the compiler otherwise re-replicates small updated
+        # leaves, silently undoing the sharding from step 2 onward.
+        self._state_shardings = (
+            jax.tree.map(lambda x: x.sharding, self.state)
+            if cfg.mesh.fsdp else None)
+        self.train_step = make_train_step(self.gan, cfg, donate=cfg.runtime.donate_state,
+                                          state_shardings=self._state_shardings)
         self.steps_per_call = max(1, cfg.run.steps_per_call)
         if self.steps_per_call > 1:
             from vitgan_tpu.train.step import make_multi_train_step
 
             self.multi_step = make_multi_train_step(
-                self.gan, cfg, self.steps_per_call, donate=cfg.runtime.donate_state
+                self.gan, cfg, self.steps_per_call, donate=cfg.runtime.donate_state,
+                state_shardings=self._state_shardings
             )
         # Device-resident dataset: batches assembled on-chip, only indices cross
         # the host boundary (single-device meshes; multi-device keeps the host
@@ -113,17 +129,11 @@ class Trainer:
             self._device_train_fn = make_device_data_train_fn(
                 self.gan, cfg, self._device_steps_per_call,
                 donate=cfg.runtime.donate_state,
+                state_shardings=self._state_shardings,
             )
         self.sample_fn = make_sample_fn(self.gan, cfg)
         self._extractor_name = fid_extractor
         self._extractor = None
-        key = jax.random.PRNGKey(m.seed)
-        from vitgan_tpu.parallel.sharding import shard_train_state
-
-        self.state = shard_train_state(
-            create_train_state(key, self.gan, cfg), self.mesh,
-            tensor_parallel=cfg.mesh.model_parallel > 1,
-        )
         # Fixed noise for comparable per-epoch grids (ref:cnn/cnn-gan.ipynb cell 12 convention).
         self.eval_noise = self.gan.sample_latent(jax.random.PRNGKey(m.seed + 1),
                                                  min(64, m.batch_size))
@@ -164,7 +174,9 @@ class Trainer:
 
         self.state, meta = self.ckpts.restore(self.state, step=step, best=best)
         self.state = shard_train_state(self.state, self.mesh,
-                                       tensor_parallel=self.cfg.mesh.model_parallel > 1)
+                                       tensor_parallel=self.cfg.mesh.model_parallel > 1,
+                                       fsdp=self.cfg.mesh.fsdp,
+                                       fsdp_min_size=self.cfg.mesh.fsdp_min_size)
         self.epoch = int(meta.get("epoch", 0))
         self.best_metric = float(meta.get("best_metric", float("inf")))
         self.log.info("resumed from step %d (epoch %d)", int(self.state.step), self.epoch)
@@ -238,7 +250,9 @@ class Trainer:
         from vitgan_tpu.parallel.sharding import shard_train_state
 
         self.state = shard_train_state(self.state, self.mesh,
-                                       tensor_parallel=self.cfg.mesh.model_parallel > 1)
+                                       tensor_parallel=self.cfg.mesh.model_parallel > 1,
+                                       fsdp=self.cfg.mesh.fsdp,
+                                       fsdp_min_size=self.cfg.mesh.fsdp_min_size)
         self.log.info("warm-started discriminator: %d leaves loaded", loaded)
         return loaded
 
@@ -343,7 +357,8 @@ class Trainer:
                 from vitgan_tpu.train.step import make_device_data_train_fn
 
                 self._device_rem_fn = make_device_data_train_fn(
-                    self.gan, self.cfg, rem, donate=self.cfg.runtime.donate_state
+                    self.gan, self.cfg, rem, donate=self.cfg.runtime.donate_state,
+                    state_shardings=self._state_shardings,
                 )
                 self._device_rem_len = rem
             chunk = idx[n_batches - rem :]
