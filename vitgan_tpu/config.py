@@ -68,6 +68,15 @@ class OptimConfig:
     beta2: float = 0.999
     weight_decay: float = 0.0
     grad_clip: Optional[float] = None  # global-norm clip; v2 dead path used 0.5 (G) / 5.0 (D)
+    # Step-based LR schedule (the working version of the reference's dead
+    # ReduceLROnPlateau lines, ref:src/v2/training.py:215-217 — plateau needs
+    # a host-fed metric and is deliberately not replicated; step schedules
+    # are pure functions of the optimizer step count, so they live inside
+    # jit/scan and resume exactly with the optimizer state).
+    schedule: str = "constant"  # constant | cosine | warmup_cosine
+    warmup_steps: int = 0       # linear 0 -> lr over this many steps
+    decay_steps: Optional[int] = None  # cosine horizon (required for cosine*)
+    min_lr_ratio: float = 0.0   # floor as a fraction of peak lr
 
 
 # ---------------------------------------------------------------------------

@@ -47,16 +47,41 @@ class TrainState:
         return {"params": self.d_params, "state": self.d_state}
 
 
+def make_lr(cfg: OptimConfig):
+    """Learning rate or an optax step schedule (OptimConfig.schedule).
+
+    Schedules are pure functions of the optimizer step count, so they trace
+    into jit/scan and resume exactly with the restored optimizer state (the
+    count lives in the Adam moments' companion state)."""
+    if cfg.schedule == "constant":
+        if cfg.warmup_steps > 0:
+            return optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
+        return cfg.learning_rate
+    if cfg.schedule in ("cosine", "warmup_cosine"):
+        if not cfg.decay_steps:
+            raise ValueError(f"schedule={cfg.schedule!r} requires decay_steps")
+        warmup = cfg.warmup_steps if cfg.schedule == "warmup_cosine" else 0
+        if warmup > 0:
+            return optax.warmup_cosine_decay_schedule(
+                0.0, cfg.learning_rate, warmup, cfg.decay_steps,
+                end_value=cfg.learning_rate * cfg.min_lr_ratio)
+        return optax.cosine_decay_schedule(cfg.learning_rate, cfg.decay_steps,
+                                           alpha=cfg.min_lr_ratio)
+    raise ValueError(f"unknown schedule {cfg.schedule!r} "
+                     "(constant | cosine | warmup_cosine)")
+
+
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     """Optimizer factory (ref:src/v1/gan.py:301-328 _pick_optimizer +
     ref:src/v2/training.py:150-157 AdamW, with the v2 dead-path grad clips)."""
+    lr = make_lr(cfg)
     if cfg.name == "adam":
-        tx = optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=cfg.beta2)
+        tx = optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2)
     elif cfg.name == "adamw":
-        tx = optax.adamw(cfg.learning_rate, b1=cfg.beta1, b2=cfg.beta2,
+        tx = optax.adamw(lr, b1=cfg.beta1, b2=cfg.beta2,
                          weight_decay=cfg.weight_decay)
     elif cfg.name == "sgd":
-        tx = optax.sgd(cfg.learning_rate)
+        tx = optax.sgd(lr)
     else:
         raise ValueError(f"unknown optimizer {cfg.name!r}")
     if cfg.grad_clip is not None:
