@@ -47,6 +47,50 @@ def test_schedule_drives_update_magnitude():
                                    rtol=1e-6)
 
 
+def test_grad_accum_sgd_semantics():
+    """MultiSteps: zero updates for k-1 calls, then the MEAN accumulated
+    gradient applies (clip wraps inside, so it clips the large-batch mean)."""
+    cfg = C.OptimConfig(name="sgd", learning_rate=1.0, grad_accum=3)
+    tx = make_optimizer(cfg)
+    p = {"w": jnp.zeros((2,))}
+    s = tx.init(p)
+    grads = [{"w": jnp.full((2,), g)} for g in (1.0, 2.0, 6.0)]
+    outs = []
+    for g in grads:
+        u, s = tx.update(g, s, p)
+        outs.append(float(u["w"][0]))
+    assert outs[0] == 0.0 and outs[1] == 0.0
+    np.testing.assert_allclose(outs[2], -3.0, rtol=1e-6)  # mean(1,2,6) * lr 1
+
+
+def test_train_step_grad_accum_freezes_then_applies():
+    """v2 step with grad_accum=2: params frozen after the first call, updated
+    after the second — and checkpointable mid-accumulation (the accumulator
+    rides in TrainState)."""
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.train import create_train_state, make_train_step
+
+    cfg = C.replace(
+        C.smoke_config("v2"),
+        **{"v2.gen_optim.grad_accum": 2, "v2.disc_optim.grad_accum": 2,
+           "v2.dropout": 0.0, "runtime.donate_state": False})
+    gan = build_gan(cfg)
+    state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
+    real = jax.random.uniform(jax.random.PRNGKey(1),
+                              (cfg.model.batch_size, cfg.model.image_size,
+                               cfg.model.image_size, cfg.model.channels),
+                              minval=-1.0, maxval=1.0)
+    step = make_train_step(gan, cfg, donate=False)
+    s1, _ = step(state, real)
+    for a, b in zip(jax.tree.leaves(s1.g_params), jax.tree.leaves(state.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    s2, _ = step(s1, real)
+    moved = any(not np.array_equal(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.tree.leaves(s2.g_params),
+                                jax.tree.leaves(s1.g_params)))
+    assert moved
+
+
 def test_train_step_with_schedule_runs():
     """Full v2 train step with warmup-cosine on both optimizers."""
     from vitgan_tpu.models import build_gan

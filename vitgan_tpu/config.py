@@ -77,6 +77,11 @@ class OptimConfig:
     warmup_steps: int = 0       # linear 0 -> lr over this many steps
     decay_steps: Optional[int] = None  # cosine horizon (required for cosine*)
     min_lr_ratio: float = 0.0   # floor as a fraction of peak lr
+    # Gradient accumulation (optax.MultiSteps): grads MEAN-accumulate over k
+    # consecutive train steps (each on a fresh batch) and the update applies
+    # on the k-th — effective batch = k x batch_size without the memory.
+    # Schedules and moments advance once per EFFECTIVE update.
+    grad_accum: int = 1
 
 
 # ---------------------------------------------------------------------------

@@ -86,6 +86,14 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
         raise ValueError(f"unknown optimizer {cfg.name!r}")
     if cfg.grad_clip is not None:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    if cfg.grad_accum > 1:
+        # Mean-accumulate grads over k step calls (each a fresh batch) and
+        # apply on the k-th: effective batch = k x batch_size.  The clip above
+        # wraps INSIDE MultiSteps, so it clips the accumulated mean gradient
+        # (the large-batch semantic), and schedules/moments advance once per
+        # effective update.  MultiSteps state (the grad accumulator) rides in
+        # the TrainState, so checkpoints resume mid-accumulation exactly.
+        tx = optax.MultiSteps(tx, every_k_schedule=int(cfg.grad_accum))
     return tx
 
 
