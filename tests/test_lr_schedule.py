@@ -120,3 +120,31 @@ def test_train_step_with_schedule_runs():
                                 jax.tree.leaves(s1.g_params)))
     assert moved
     assert np.isfinite(float(m2["g_loss"]))
+
+def test_grad_accum_ema_gated_on_effective_updates():
+    """EMA must not decay on frozen-param accumulation calls — its horizon
+    tracks EFFECTIVE updates, matching the large-batch baseline."""
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.train import create_train_state, make_train_step
+
+    cfg = C.replace(
+        C.smoke_config("v2"),
+        **{"v2.gen_optim.grad_accum": 2, "v2.disc_optim.grad_accum": 2,
+           "v2.dropout": 0.0, "run.ema_decay": 0.9,
+           "runtime.donate_state": False})
+    gan = build_gan(cfg)
+    state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
+    real = jax.random.uniform(jax.random.PRNGKey(1),
+                              (cfg.model.batch_size, cfg.model.image_size,
+                               cfg.model.image_size, cfg.model.channels),
+                              minval=-1.0, maxval=1.0)
+    step = make_train_step(gan, cfg, donate=False)
+    s1, _ = step(state, real)
+    # accumulation-only call: params frozen AND ema untouched
+    for a, b in zip(jax.tree.leaves(s1.g_ema), jax.tree.leaves(state.g_ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    s2, _ = step(s1, real)
+    moved = any(not np.array_equal(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.tree.leaves(s2.g_ema),
+                                jax.tree.leaves(s1.g_ema)))
+    assert moved

@@ -18,7 +18,7 @@ are per-head, so they shard on the head axis with the weights.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -92,36 +92,45 @@ def _fsdp_extend(leaf, spec: P, mesh: Mesh, data_axis: str, min_size: int) -> P:
     return spec
 
 
-def fsdp_shardings(tree: Any, mesh: Mesh, tensor_parallel: bool = False,
-                   data_axis: str = "data", min_size: int = 2048) -> Any:
-    """NamedSharding pytree for fully-sharded DP, composed with the TP rules
-    (TP claims the head/width axes first; FSDP takes the largest free dim)."""
+def _placement_shardings(tree: Any, mesh: Mesh, tensor_parallel: bool,
+                         fsdp_axis: Optional[str], min_size: int) -> Any:
+    """One rule set for every placement path: TP spec (when enabled and
+    divisible) optionally extended with FSDP data-axis sharding."""
 
     def one(path, leaf):
         spec = _spec_for(path, leaf) if tensor_parallel else P()
         if spec != P() and not _divisible(leaf, spec, mesh):
             spec = P()
-        return NamedSharding(mesh, _fsdp_extend(leaf, spec, mesh, data_axis,
-                                                min_size))
+        if fsdp_axis:
+            spec = _fsdp_extend(leaf, spec, mesh, fsdp_axis, min_size)
+        return NamedSharding(mesh, spec)
 
     flat = jax.tree_util.tree_flatten_with_path(tree)
     leaves = [one(p, v) for p, v in flat[0]]
     return jax.tree_util.tree_unflatten(flat[1], leaves)
 
 
+def fsdp_shardings(tree: Any, mesh: Mesh, tensor_parallel: bool = False,
+                   data_axis: str = "data", min_size: int = 2048) -> Any:
+    """NamedSharding pytree for fully-sharded DP, composed with the TP rules
+    (TP claims the head/width axes first; FSDP takes the largest free dim)."""
+    return _placement_shardings(tree, mesh, tensor_parallel, data_axis, min_size)
+
+
 def shard_train_state(state, mesh: Mesh, tensor_parallel: bool = False,
-                      fsdp: bool = False, fsdp_min_size: int = 2048):
+                      fsdp: bool = False, fsdp_min_size: int = 2048,
+                      data_axis: str = "data"):
     """Place a TrainState: batch-independent leaves replicated, TP-sharded,
     and/or FSDP-sharded over the data axis (parameters AND optimizer moments —
     optax states are pytrees with the same leaf shapes, so one rule set
     places everything).
     """
     use_tp = tensor_parallel and mesh.shape.get("model", 1) > 1
-    if fsdp and mesh.shape.get("data", 1) > 1:
+    if fsdp and mesh.shape.get(data_axis, 1) > 1:
         return jax.tree.map(
             jax.device_put, state,
-            fsdp_shardings(state, mesh, tensor_parallel=use_tp,
-                           min_size=fsdp_min_size))
+            _placement_shardings(state, mesh, use_tp, data_axis,
+                                 fsdp_min_size))
     if not use_tp:
         repl = NamedSharding(mesh, P())
         return jax.tree.map(lambda x: jax.device_put(x, repl), state)

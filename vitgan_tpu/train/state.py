@@ -60,10 +60,15 @@ def make_lr(cfg: OptimConfig):
     if cfg.schedule in ("cosine", "warmup_cosine"):
         if not cfg.decay_steps:
             raise ValueError(f"schedule={cfg.schedule!r} requires decay_steps")
-        warmup = cfg.warmup_steps if cfg.schedule == "warmup_cosine" else 0
-        if warmup > 0:
+        if cfg.schedule == "cosine" and cfg.warmup_steps > 0:
+            raise ValueError("schedule='cosine' ignores warmup_steps — use "
+                             "schedule='warmup_cosine'")
+        if cfg.schedule == "warmup_cosine":
+            if cfg.warmup_steps <= 0:
+                raise ValueError("schedule='warmup_cosine' requires "
+                                 "warmup_steps > 0 (or use schedule='cosine')")
             return optax.warmup_cosine_decay_schedule(
-                0.0, cfg.learning_rate, warmup, cfg.decay_steps,
+                0.0, cfg.learning_rate, cfg.warmup_steps, cfg.decay_steps,
                 end_value=cfg.learning_rate * cfg.min_lr_ratio)
         return optax.cosine_decay_schedule(cfg.learning_rate, cfg.decay_steps,
                                            alpha=cfg.min_lr_ratio)

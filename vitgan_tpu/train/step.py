@@ -50,6 +50,7 @@ def make_raw_train_step(gan: GANBundle, cfg: ExperimentConfig):
     d_tx = make_optimizer(_optim_cfg(cfg, "disc"))
     dtype = _compute_dtype(cfg)
     ema_decay = cfg.run.ema_decay
+    gen_accum = int(getattr(_optim_cfg(cfg, "gen"), "grad_accum", 1))
 
     augment_spec = cfg.run.diff_augment
 
@@ -198,6 +199,16 @@ def make_raw_train_step(gan: GANBundle, cfg: ExperimentConfig):
             g_ema = jax.tree.map(
                 lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, g_ema, g_params
             )
+            if gen_accum > 1:
+                # Under gradient accumulation G params only move on every
+                # k-th call; decaying the EMA on frozen-param calls would
+                # shrink its horizon by k vs the large-batch baseline.  Gate
+                # on MultiSteps' own counter (pre-update mini_step == k-1 on
+                # applying calls) so mid-accumulation resume stays exact.
+                applied = state.g_opt.mini_step == gen_accum - 1
+                g_ema = jax.tree.map(
+                    lambda new, old: jnp.where(applied, new, old),
+                    g_ema, state.g_ema)
 
         metrics = {
             "d_loss": d_loss,

@@ -81,6 +81,7 @@ class Trainer:
             create_train_state(key, self.gan, cfg), self.mesh,
             tensor_parallel=cfg.mesh.model_parallel > 1,
             fsdp=cfg.mesh.fsdp, fsdp_min_size=cfg.mesh.fsdp_min_size,
+            data_axis=cfg.mesh.data_axis,
         )
         # Under FSDP the step must pin its output state to the input
         # placements — the compiler otherwise re-replicates small updated
@@ -176,7 +177,8 @@ class Trainer:
         self.state = shard_train_state(self.state, self.mesh,
                                        tensor_parallel=self.cfg.mesh.model_parallel > 1,
                                        fsdp=self.cfg.mesh.fsdp,
-                                       fsdp_min_size=self.cfg.mesh.fsdp_min_size)
+                                       fsdp_min_size=self.cfg.mesh.fsdp_min_size,
+                                       data_axis=self.cfg.mesh.data_axis)
         self.epoch = int(meta.get("epoch", 0))
         self.best_metric = float(meta.get("best_metric", float("inf")))
         self.log.info("resumed from step %d (epoch %d)", int(self.state.step), self.epoch)
@@ -252,7 +254,8 @@ class Trainer:
         self.state = shard_train_state(self.state, self.mesh,
                                        tensor_parallel=self.cfg.mesh.model_parallel > 1,
                                        fsdp=self.cfg.mesh.fsdp,
-                                       fsdp_min_size=self.cfg.mesh.fsdp_min_size)
+                                       fsdp_min_size=self.cfg.mesh.fsdp_min_size,
+                                       data_axis=self.cfg.mesh.data_axis)
         self.log.info("warm-started discriminator: %d leaves loaded", loaded)
         return loaded
 
