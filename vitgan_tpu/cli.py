@@ -452,6 +452,18 @@ def cmd_warmup(args) -> int:
 
 
 def cmd_sweep(args) -> int:
+    if args.vectorize:
+        from vitgan_tpu.hpo.sweep import run_sweep_vectorized
+
+        if args.trial_stride > 1:
+            raise ValueError("--vectorize replaces host striding (trials "
+                             "parallelize on-device); drop --trial-stride")
+        best = run_sweep_vectorized(num_trials=args.num_trials,
+                                    epochs_per_trial=args.epochs or 1,
+                                    seed=args.seed or 0,
+                                    dataset=args.dataset or "synthetic")
+        print(json.dumps(best, indent=2, default=str))
+        return 0
     from vitgan_tpu.hpo.sweep import run_sweep
 
     best = run_sweep(num_trials=args.num_trials, epochs_per_trial=args.epochs or 1,
@@ -574,6 +586,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="this host's slice of the trial sequence")
     s.add_argument("--trial-stride", type=int, default=1,
                    help="total hosts sharing the sweep")
+    s.add_argument("--vectorize", action="store_true",
+                   help="vmap same-shape trials into one jitted step: K "
+                        "optimizer states with per-trial lrs train "
+                        "simultaneously (one compile per shape group)")
     s.set_defaults(fn=cmd_sweep)
     return p
 

@@ -82,6 +82,12 @@ class OptimConfig:
     # on the k-th — effective batch = k x batch_size without the memory.
     # Schedules and moments advance once per EFFECTIVE update.
     grad_accum: int = 1
+    # Carry the learning rate IN the optimizer state (optax.inject_hyperparams)
+    # instead of baking it into the jitted step — lets vmapped train states
+    # hold per-trial lrs (hpo.sweep vectorized mode).  Constant schedule only;
+    # incompatible with grad_clip/grad_accum (they would bury the hyperparams
+    # leaf under wrapper states).
+    inject_lr: bool = False
 
 
 # ---------------------------------------------------------------------------

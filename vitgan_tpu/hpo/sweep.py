@@ -97,3 +97,119 @@ def run_sweep(num_trials: int = 10, epochs_per_trial: int = 1, seed: int = 0,
     with open(os.path.join(out_dir, "best_config.json"), "w") as f:
         json.dump(best, f, indent=2)
     return best
+
+
+# ---------------------------------------------------------------------------
+# Vectorized trials: same-shape configs vmapped into ONE jit region
+# ---------------------------------------------------------------------------
+
+
+def _shape_key(trial: Dict[str, Any]):
+    return (trial["embed_dim"], trial["num_heads"], trial["batch_size"])
+
+
+def _set_lr(opt_state, lrs):
+    """Per-trial learning rates into an inject_hyperparams state (leaves are
+    stacked over the trial axis after vmapped init)."""
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = lrs
+    return opt_state._replace(hyperparams=hp)
+
+
+def run_sweep_vectorized(num_trials: int = 10, epochs_per_trial: int = 1,
+                         seed: int = 0, dataset: str = "synthetic",
+                         base_cfg=None, run_base: Optional[str] = None) -> Dict[str, Any]:
+    """TPU-idiomatic trial parallelism: trials sharing a model SHAPE
+    (embed/heads/batch — the only shape-affecting keys in the reference's
+    search space, ref:src/v2/training.py:277-283) train SIMULTANEOUSLY as one
+    vmapped train step — K optimizer states ride a leading trial axis, each
+    carrying its own lr (OptimConfig.inject_lr) and PRNG stream.
+
+    vs the sequential runner: one compile and one device-call stream per shape
+    GROUP instead of per trial.  Trials in a group see the same real-data
+    order (noise/dropout streams still differ per trial); FID is evaluated
+    per trial after training.  The vmapped path keeps the XLA compositions
+    (kernel routing off: pallas_call has no batching rule).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vitgan_tpu import config as C
+    from vitgan_tpu.data import make_pipeline
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.train import fid as FID
+    from vitgan_tpu.train.state import create_train_state
+    from vitgan_tpu.train.step import make_raw_train_step, make_sample_fn
+
+    rng = np.random.default_rng(seed)
+    trials = [(i, sample_search_space(rng)) for i in range(num_trials)]
+    groups: Dict[Any, List] = {}
+    for i, t in trials:
+        groups.setdefault(_shape_key(t), []).append((i, t))
+
+    base = base_cfg or C.replace(
+        C.ExperimentConfig(family="v2", data=C.DataConfig(dataset=dataset)),
+        **{"run.epochs": epochs_per_trial, "run.checkpoint_every_epochs": 0,
+           "run.sample_grid_every_epochs": 0},
+    )
+    out_dir = run_base or os.path.join(C.scratch_root(), "sweeps")
+    os.makedirs(out_dir, exist_ok=True)
+    log_path = os.path.join(out_dir, "sweep_results.jsonl")
+
+    results: List[Dict[str, Any]] = []
+    for key, members in sorted(groups.items()):
+        k = len(members)
+        cfg = C.replace(
+            _trial_config(base, members[0][1]),
+            **{"v2.gen_optim.inject_lr": True, "v2.disc_optim.inject_lr": True,
+               "v2.gen_optim.grad_clip": None, "v2.disc_optim.grad_clip": None,
+               "runtime.use_pallas": "never", "runtime.donate_state": False},
+        )
+        gan = build_gan(cfg)
+        m = cfg.model
+        keys = jnp.stack([jax.random.PRNGKey(seed * 1000 + i) for i, _ in members])
+        states = jax.vmap(lambda kk: create_train_state(kk, gan, cfg))(keys)
+        gen_lrs = jnp.asarray([t["gen_lr"] for _, t in members], jnp.float32)
+        disc_lrs = jnp.asarray([t["disc_lr"] for _, t in members], jnp.float32)
+        states = states.replace(g_opt=_set_lr(states.g_opt, gen_lrs),
+                                d_opt=_set_lr(states.d_opt, disc_lrs))
+
+        vstep = jax.jit(jax.vmap(make_raw_train_step(gan, cfg),
+                                 in_axes=(0, None)), donate_argnums=(0,))
+        pipeline = make_pipeline(cfg.data, m.batch_size, m.image_size,
+                                 m.channels, seed=m.seed,
+                                 synthetic_samples=cfg.data.synthetic_samples)
+        steps_cap = base.run.steps_per_epoch
+        for _epoch in range(epochs_per_trial):
+            for s_i, (real, _) in enumerate(pipeline.epoch()):
+                if real.shape[0] != m.batch_size:
+                    continue  # fixed-shape vmapped step: skip partial batches
+                states, metrics = vstep(states, jnp.asarray(real))
+                if steps_cap and s_i + 1 >= steps_cap:
+                    break
+
+        extractor = FID.make_feature_extractor("random_conv", m.channels)
+        sample_fn = make_sample_fn(gan, cfg)
+        num_fid = min(base.run.fid_num_samples, pipeline.num_samples)
+        for slot, (i, t) in enumerate(members):
+            st = jax.tree.map(lambda x, s=slot: x[s], states)
+
+            def sample_batch(rng_k, n, st=st):
+                z = gan.sample_latent(rng_k, n)
+                return np.asarray(sample_fn(st.g_vars_ema, z))
+
+            real_batches = (np.asarray(x) for x, _ in pipeline.epoch())
+            fid = FID.compute_fid(sample_batch, real_batches, extractor,
+                                  rng=jax.random.PRNGKey(10_000 + i),
+                                  num_samples=num_fid,
+                                  batch_size=m.batch_size)
+            rec = {"trial": i, "params": t, "fid": float(fid),
+                   "vectorized_group": list(key), "group_size": k}
+            results.append(rec)
+            with open(log_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
+    best = min(results, key=lambda r: r["fid"] if math.isfinite(r["fid"]) else 1e18)
+    with open(os.path.join(out_dir, "best_config.json"), "w") as f:
+        json.dump(best, f, indent=2)
+    return best

@@ -79,6 +79,27 @@ def make_lr(cfg: OptimConfig):
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     """Optimizer factory (ref:src/v1/gan.py:301-328 _pick_optimizer +
     ref:src/v2/training.py:150-157 AdamW, with the v2 dead-path grad clips)."""
+    if cfg.inject_lr:
+        # lr lives in the optimizer STATE (hyperparams leaf) — vmapped states
+        # can then carry per-trial lrs (hpo.sweep vectorized trials).
+        if cfg.schedule != "constant" or cfg.warmup_steps:
+            raise ValueError("inject_lr supports constant lr only")
+        if cfg.grad_clip is not None or cfg.grad_accum > 1:
+            raise ValueError("inject_lr is incompatible with grad_clip/"
+                             "grad_accum (wrapper states would bury the "
+                             "hyperparams leaf)")
+        makers = {
+            "adam": lambda learning_rate: optax.adam(
+                learning_rate, b1=cfg.beta1, b2=cfg.beta2),
+            "adamw": lambda learning_rate: optax.adamw(
+                learning_rate, b1=cfg.beta1, b2=cfg.beta2,
+                weight_decay=cfg.weight_decay),
+            "sgd": optax.sgd,
+        }
+        if cfg.name not in makers:
+            raise ValueError(f"unknown optimizer {cfg.name!r}")
+        return optax.inject_hyperparams(makers[cfg.name])(
+            learning_rate=cfg.learning_rate)
     lr = make_lr(cfg)
     if cfg.name == "adam":
         tx = optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2)
