@@ -451,6 +451,18 @@ def cmd_warmup(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Capture a jax.profiler trace of a few train steps (op-level timeline;
+    open with TensorBoard/xprof)."""
+    from vitgan_tpu.train.trainer import Trainer
+
+    cfg = _build_cfg(args)
+    trainer = Trainer(cfg, fid_extractor="random_conv")
+    trace_dir = trainer.profile(n_steps=args.steps)
+    print(f"trace ({args.steps} steps, family {cfg.family}) -> {trace_dir}")
+    return 0
+
+
 def cmd_sweep(args) -> int:
     if args.vectorize:
         from vitgan_tpu.hpo.sweep import run_sweep_vectorized
@@ -578,6 +590,11 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("--scan", type=int, default=0,
                    help="also pre-compile the `bench` harness at this scan length")
     w.set_defaults(fn=cmd_warmup)
+
+    pr = sub.add_parser("profile", help="jax.profiler trace of a few train steps")
+    common(pr)
+    pr.add_argument("--steps", type=int, default=5)
+    pr.set_defaults(fn=cmd_profile)
 
     s = sub.add_parser("sweep", help="hyperparameter sweep (Ray-free)")
     common(s)
