@@ -111,6 +111,33 @@ def test_fsdp_composes_with_tp():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_trainer_fsdp_with_pipeline(tmp_path):
+    """mesh.fsdp + mesh.pipeline_parallel compose: the data axis goes AUTO in
+    the pipeline shard_map so block params keep their ZeRO sharding inside
+    the stages (a manual data axis would silently all-gather them)."""
+    from vitgan_tpu.train.trainer import Trainer
+
+    cfg = C.replace(
+        C.smoke_config("v2"),
+        **{"mesh.fsdp": True, "mesh.fsdp_min_size": 256,
+           "mesh.pipeline_parallel": 2, "v2.depth": 4,
+           "run.steps_per_epoch": 2, "run.fid_num_samples": 16,
+           "run.checkpoint_every_epochs": 0, "run_name": "fsdp_pp",
+           # bf16 + auto-axis collectives in the pipeline aborts XLA:CPU
+           # (scripts/repro_xla_allreduce_bug.py); f32 on the CPU mesh.
+           "runtime.compute_dtype": "float32"},
+    )
+    tr = Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
+    assert tr.mesh.shape == {"data": 4, "model": 1, "pipe": 2}
+    specs = [x.sharding.spec for x in jax.tree.leaves(tr.state.g_params)]
+    assert any("data" in (s or ()) for s in specs)
+    metrics = tr.fit(epochs=1)
+    assert np.isfinite(metrics["d_loss"]) and np.isfinite(metrics["fid"])
+    # placement survived the epoch
+    specs = [x.sharding.spec for x in jax.tree.leaves(tr.state.g_params)]
+    assert any("data" in (s or ()) for s in specs)
+
+
 def test_trainer_fsdp(tmp_path):
     """mesh.fsdp=true through the whole trainer surface (fit + FID + ckpt)."""
     from vitgan_tpu.train.trainer import Trainer

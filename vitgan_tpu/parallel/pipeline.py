@@ -80,17 +80,19 @@ def pipeline_blocks(
         masks decorrelate across data shards.
       dp_axis: optional data-parallel mesh axis; x's batch dim is then
         sharded over it (composes DP x PP on one mesh).
-      tp_axis: optional tensor-parallel mesh axis: the shard_map goes manual
-        over ``axis``/``dp_axis`` only, leaving ``tp_axis`` AUTO — inside each
-        stage XLA's SPMD partitioner keeps the blocks' TP shardings
-        (parallel/sharding.py rules ride in on the stacked leaves' GSPMD
-        shardings; ``in_specs`` may only name manual axes) and inserts the TP
-        collectives per tick.  This composes PP x TP (x DP) on one mesh.
+      tp_axis: optional mesh axis (or tuple of axes) to leave AUTO: the
+        shard_map goes manual over the remaining axes only, and inside each
+        stage XLA's SPMD partitioner keeps the blocks' GSPMD shardings on the
+        auto axes (``in_specs`` may only name manual axes) and inserts the
+        collectives per tick.  Pass the TP axis to compose PP x TP; pass the
+        DATA axis (with ``dp_axis=None``) to compose PP x FSDP — the stacked
+        block leaves keep their data-axis (ZeRO) sharding and the batch rides
+        GSPMD instead of the manual microbatch slicing; or pass both.
         Caveat: Pallas kernels inside the blocks see auto-axis operands as
-        GSPMD arrays — a custom call forces an all-gather of its TP-sharded
+        GSPMD arrays — a custom call forces an all-gather of its sharded
         operands, so kernel routing should prefer XLA compositions under
-        PP+TP (the default policy thresholds already do at these block
-        sizes).
+        these compositions (the default policy thresholds already do at
+        these block sizes).
 
     Returns activations with the same pytree structure and sharding as ``x``:
     equal to applying the blocks sequentially.
@@ -113,7 +115,10 @@ def pipeline_blocks(
     if rngs is not None and tuple(rngs.shape[:2]) != (depth, microbatches):
         raise ValueError(
             f"rngs shape {rngs.shape} != (depth={depth}, microbatches={microbatches}, ...)")
-    if tp_axis and mesh.shape.get(tp_axis, 1) > 1 and jax.default_backend() == "cpu":
+    auto_axes = (set() if not tp_axis
+                 else {tp_axis} if isinstance(tp_axis, str) else set(tp_axis))
+    if (any(mesh.shape.get(a, 1) > 1 for a in auto_axes)
+            and jax.default_backend() == "cpu"):
         # Upstream XLA:CPU bug (jax 0.9): AllReducePromotion's CloneAllReduce
         # aborts the PROCESS ("Invalid binary instruction opcode copy") when
         # promoting the bf16 contraction all-reduce GSPMD inserts inside the
@@ -123,10 +128,11 @@ def pipeline_blocks(
         leaves = jax.tree.leaves(stacked_blocks) + x_leaves
         if any(getattr(leaf, "dtype", None) == jnp.bfloat16 for leaf in leaves):
             raise ValueError(
-                "PP+TP with bfloat16 crashes XLA:CPU's AllReducePromotion "
-                "pass (upstream bug; scripts/repro_xla_allreduce_bug.py). "
-                "On the CPU backend use runtime.compute_dtype=float32; "
-                "real TPUs reduce bf16 natively and are unaffected.")
+                "pipelines with auto-axis collectives (PP+TP / PP+FSDP) in "
+                "bfloat16 crash XLA:CPU's AllReducePromotion pass (upstream "
+                "bug; scripts/repro_xla_allreduce_bug.py).  On the CPU "
+                "backend use runtime.compute_dtype=float32; real TPUs reduce "
+                "bf16 natively and are unaffected.")
 
     m = microbatches
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
@@ -134,9 +140,13 @@ def pipeline_blocks(
     blk_spec = P(axis)
     rng_specs = (P(axis),) if rngs is not None else ()
     tmap = jax.tree.map
-    # All mesh axes manual (the classic full-manual shard_map), except an
-    # optional tp_axis left auto so GSPMD runs TP inside each stage.
-    manual = frozenset(mesh.axis_names) - ({tp_axis} if tp_axis else set())
+    # All mesh axes manual (the classic full-manual shard_map), except the
+    # optional auto axes (TP and/or FSDP-data) GSPMD handles inside stages.
+    if dp_axis and dp_axis in auto_axes:
+        raise ValueError(f"axis {dp_axis!r} cannot be both the manual dp_axis "
+                         "and an auto (tp_axis) axis — for PP x FSDP pass "
+                         "dp_axis=None and put the data axis in tp_axis")
+    manual = frozenset(mesh.axis_names) - auto_axes
 
     @partial(shard_map, mesh=mesh, axis_names=manual,
              in_specs=(blk_spec, x_spec) + rng_specs,

@@ -62,12 +62,20 @@ class Trainer:
 
             dp = (cfg.mesh.data_axis
                   if self.mesh.shape.get(cfg.mesh.data_axis, 1) > 1 else None)
-            tp = (cfg.mesh.model_axis
-                  if self.mesh.shape.get(cfg.mesh.model_axis, 1) > 1 else None)
+            auto = []
+            if self.mesh.shape.get(cfg.mesh.model_axis, 1) > 1:
+                auto.append(cfg.mesh.model_axis)  # TP inside stages
+            if cfg.mesh.fsdp and dp:
+                # PP x FSDP: the data axis goes AUTO so the stacked block
+                # leaves keep their ZeRO sharding inside the shard_map (a
+                # manual data axis would silently all-gather them); the batch
+                # rides GSPMD instead of the manual microbatch slicing.
+                auto.append(dp)
+                dp = None
             self.gan = pp_bundle(self.gan, cfg, mesh=self.mesh,
                                  axis=cfg.mesh.pipe_axis,
                                  microbatches=cfg.mesh.pipeline_microbatches,
-                                 dp_axis=dp, tp_axis=tp)
+                                 dp_axis=dp, tp_axis=tuple(auto) or None)
         m = cfg.model
         self.pipeline = make_pipeline(
             cfg.data, m.batch_size, m.image_size, m.channels,
