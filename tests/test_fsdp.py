@@ -138,6 +138,32 @@ def test_trainer_fsdp_with_pipeline(tmp_path):
     assert any("data" in (s or ()) for s in specs)
 
 
+def test_trainer_fsdp_tp_pp_triple(tmp_path):
+    """The full composition on one 2x2x2 mesh: ZeRO over data + TP over model
+    (both AUTO inside the pipeline stages) + GPipe over pipe (manual)."""
+    from vitgan_tpu.train.trainer import Trainer
+
+    cfg = C.replace(
+        C.smoke_config("v2"),
+        **{"mesh.fsdp": True, "mesh.fsdp_min_size": 256,
+           "mesh.model_parallel": 2, "mesh.pipeline_parallel": 2,
+           "v2.depth": 4, "run.steps_per_epoch": 2, "run.fid_num_samples": 16,
+           "run.checkpoint_every_epochs": 0, "run_name": "triple",
+           "runtime.compute_dtype": "float32"},
+    )
+    tr = Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
+    assert tr.mesh.shape == {"data": 2, "model": 2, "pipe": 2}
+    flat = {tuple(str(getattr(k, "key", getattr(k, "name", k))) for k in p): v
+            for p, v in jax.tree_util.tree_flatten_with_path(
+                tr.state.d_params)[0]}
+    qkv = [v.sharding.spec for k, v in flat.items() if k[-1] == "qkv"]
+    assert qkv and all("model" in s for s in qkv)  # TP live
+    specs = [x.sharding.spec for x in jax.tree.leaves(tr.state.g_params)]
+    assert any("data" in (s or ()) for s in specs)  # FSDP live
+    metrics = tr.fit(epochs=1)
+    assert np.isfinite(metrics["d_loss"]) and np.isfinite(metrics["fid"])
+
+
 def test_trainer_fsdp(tmp_path):
     """mesh.fsdp=true through the whole trainer surface (fit + FID + ckpt)."""
     from vitgan_tpu.train.trainer import Trainer
