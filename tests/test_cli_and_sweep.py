@@ -121,3 +121,20 @@ def test_cli_warmup_populates_compile_cache(dev_env, capsys):
 def test_cli_warmup_bad_preset(dev_env):
     with pytest.raises(KeyError):
         cli.main(["warmup", "nosuch"])
+
+
+def test_cli_doctor(tmp_path, monkeypatch, capsys):
+    """doctor reports env health and cannot hang on a dead device (the probe
+    runs in a subprocess with a timeout)."""
+    import json as _json
+
+    from vitgan_tpu.cli import main
+
+    monkeypatch.setenv("SCRATCH", str(tmp_path))
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    rc = main(["doctor", "--device-timeout", "120"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    report = _json.loads(out.strip().split("\n")[-1])
+    assert report["devices"]["ok"] and "cpu" in report["devices"]["detail"]
+    assert report["torch_interop"]["ok"]

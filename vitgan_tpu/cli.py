@@ -451,6 +451,77 @@ def cmd_warmup(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Environment health report: accelerator reachability (probed in a
+    SUBPROCESS with a timeout — a dead tunneled device hangs jax.devices()
+    forever, the exact failure mode this command exists to diagnose),
+    compilation cache, native loader, torch interop, scratch layout."""
+    import subprocess
+
+    from vitgan_tpu import config as C
+
+    checks = {}
+
+    # the axon sitecustomize force-registers the tunneled TPU even when the
+    # env says JAX_PLATFORMS=cpu; honor the env explicitly (bench.py pattern)
+    probe = ("import os, jax\n"
+             "if 'cpu' in os.environ.get('JAX_PLATFORMS', '').lower():\n"
+             "    jax.config.update('jax_platforms', 'cpu')\n"
+             "d = jax.devices()\nimport jax.numpy as jnp\n"
+             "assert float(jnp.sum(jnp.ones((8, 8)))) == 64.0\n"
+             "print(d[0].platform, len(d))")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe], capture_output=True,
+                           text=True, timeout=args.device_timeout)
+        out = (r.stdout or "").strip().split("\n")[-1]
+        checks["devices"] = ({"ok": True, "detail": out} if r.returncode == 0
+                             else {"ok": False,
+                                   "detail": (r.stderr or "")[-300:].strip()})
+    except subprocess.TimeoutExpired:
+        checks["devices"] = {
+            "ok": False,
+            "detail": f"no response in {args.device_timeout}s — tunneled "
+                      "accelerator down? (CPU runs: JAX_PLATFORMS=cpu)"}
+
+    scratch = C.scratch_root()
+    checks["scratch"] = {"ok": os.path.isdir(scratch), "detail": scratch}
+    cache = os.path.join(scratch, "jax_cache")
+    n_cached = (len(os.listdir(cache)) if os.path.isdir(cache) else 0)
+    checks["compilation_cache"] = {"ok": True,
+                                   "detail": f"{cache} ({n_cached} entries)"}
+    try:
+        from vitgan_tpu.data.native import load_library
+
+        load_library()
+        checks["native_loader"] = {"ok": True, "detail": "built and loadable"}
+    except Exception as e:
+        checks["native_loader"] = {
+            "ok": False, "detail": f"{type(e).__name__}: {e} (python "
+            "fallback path is used automatically)"}
+    try:
+        import torch
+
+        checks["torch_interop"] = {"ok": True, "detail": torch.__version__}
+    except Exception as e:
+        checks["torch_interop"] = {
+            "ok": False,
+            "detail": f"{e} (import/export-torch and the torch FID "
+                      "extractor are unavailable)"}
+    from vitgan_tpu.train.fid import inception_weights_path
+
+    w = inception_weights_path()
+    checks["inception_weights"] = {
+        "ok": w is not None,
+        "detail": w or "not staged — FID uses the random-conv extractor "
+                       "(relative tracking only)"}
+
+    for name, c in checks.items():
+        print(f"[{'ok' if c['ok'] else 'FAIL'}] {name}: {c['detail']}")
+    hard_fail = not checks["devices"]["ok"] and not args.allow_no_device
+    print(json.dumps({k: v for k, v in checks.items()}))
+    return 1 if hard_fail else 0
+
+
 def cmd_profile(args) -> int:
     """Capture a jax.profiler trace of a few train steps (op-level timeline;
     open with TensorBoard/xprof)."""
@@ -590,6 +661,13 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("--scan", type=int, default=0,
                    help="also pre-compile the `bench` harness at this scan length")
     w.set_defaults(fn=cmd_warmup)
+
+    d = sub.add_parser("doctor", help="environment health report (device probe "
+                       "is subprocess+timeout: a dead tunnel can't hang it)")
+    d.add_argument("--device-timeout", type=float, default=90.0)
+    d.add_argument("--allow-no-device", action="store_true",
+                   help="exit 0 even when no accelerator answers (CPU-only use)")
+    d.set_defaults(fn=cmd_doctor)
 
     pr = sub.add_parser("profile", help="jax.profiler trace of a few train steps")
     common(pr)
