@@ -22,6 +22,13 @@ def _cfg(**kw):
                              "runtime.donate_state": False, **kw})
 
 
+def _real_batch(cfg, seed: int):
+    return jax.random.uniform(jax.random.PRNGKey(seed),
+                              (cfg.model.batch_size, cfg.model.image_size,
+                               cfg.model.image_size, cfg.model.channels),
+                              minval=-1.0, maxval=1.0)
+
+
 @pytest.fixture(scope="module")
 def data_mesh():
     import numpy as _np
@@ -43,10 +50,7 @@ def test_fsdp_shardings_pick_largest_divisible_dim(data_mesh):
 def test_fsdp_step_matches_replicated(data_mesh):
     cfg = _cfg()
     gan = build_gan(cfg)
-    real = jax.random.uniform(jax.random.PRNGKey(5),
-                              (cfg.model.batch_size, cfg.model.image_size,
-                               cfg.model.image_size, cfg.model.channels),
-                              minval=-1.0, maxval=1.0)
+    real = _real_batch(cfg, 5)
     step = make_train_step(gan, cfg, donate=False)
     base = create_train_state(jax.random.PRNGKey(0), gan, cfg)
     s_rep, m_rep = step(shard_train_state(base, data_mesh), real)
@@ -68,10 +72,7 @@ def test_fsdp_placement_survives_the_step(data_mesh):
     onward trains on silently re-replicated params."""
     cfg = _cfg()
     gan = build_gan(cfg)
-    real = jax.random.uniform(jax.random.PRNGKey(6),
-                              (cfg.model.batch_size, cfg.model.image_size,
-                               cfg.model.image_size, cfg.model.channels),
-                              minval=-1.0, maxval=1.0)
+    real = _real_batch(cfg, 6)
     s_fs = shard_train_state(create_train_state(jax.random.PRNGKey(0), gan, cfg),
                              data_mesh, fsdp=True, fsdp_min_size=256)
     step = make_train_step(gan, cfg, donate=False,
@@ -98,10 +99,7 @@ def test_fsdp_composes_with_tp():
     qkv_specs = [v for k, v in flat.items() if k[-1] == "qkv"]
     assert qkv_specs and all("model" in s and "data" in s for s in qkv_specs)
 
-    real = jax.random.uniform(jax.random.PRNGKey(7),
-                              (cfg.model.batch_size, cfg.model.image_size,
-                               cfg.model.image_size, cfg.model.channels),
-                              minval=-1.0, maxval=1.0)
+    real = _real_batch(cfg, 7)
     step = make_train_step(gan, cfg, donate=False)
     _, m_rep = step(shard_train_state(base, mesh), real)
     _, m_fs = step(shard_train_state(base, mesh, tensor_parallel=True,

@@ -261,6 +261,25 @@ def DC_init_v2_d(cfg):
     return V2.discriminator_init(jax.random.PRNGKey(1), cfg)
 
 
+def _dcgan_g_sd(seed: int):
+    """Reference-format DCGAN generator state_dict (cnn/cnn-gan.ipynb G) at
+    full notebook widths."""
+    r = np.random.RandomState(seed)
+    return {"main.0.weight": r.randn(100, 256, 4, 4).astype(np.float32),
+            "main.2.weight": r.randn(256, 128, 4, 4).astype(np.float32),
+            "main.5.weight": r.randn(128, 64, 4, 4).astype(np.float32),
+            "main.7.weight": r.randn(64, 3, 4, 4).astype(np.float32),
+            "main.3.weight": r.randn(128).astype(np.float32),
+            "main.3.bias": r.randn(128).astype(np.float32),
+            "main.3.running_mean": r.randn(128).astype(np.float32),
+            "main.3.running_var": (r.rand(128) + 0.5).astype(np.float32)}
+
+
+def _save_sd(path, sd):
+    torch.save({k: torch.from_numpy(np.asarray(v, np.float32))
+                for k, v in sd.items()}, str(path))
+
+
 def test_cli_warm_start_from_torch_file(tmp_path):
     """cli train --warm-start-d with a reference-format .pth end to end."""
     from vitgan_tpu.cli import _warm_start_d
@@ -329,17 +348,9 @@ def test_cli_generate_from_torch(tmp_path, monkeypatch):
     """cli generate --from-torch samples from an imported DCGAN generator."""
     from vitgan_tpu.cli import main
 
-    r = np.random.RandomState(3)
-    gsd = {"main.0.weight": r.randn(100, 256, 4, 4),
-           "main.2.weight": r.randn(256, 128, 4, 4),
-           "main.5.weight": r.randn(128, 64, 4, 4),
-           "main.7.weight": r.randn(64, 3, 4, 4),
-           "main.3.weight": r.randn(128), "main.3.bias": r.randn(128),
-           "main.3.running_mean": r.randn(128),
-           "main.3.running_var": r.rand(128) + 0.5}
+    gsd = _dcgan_g_sd(3)
     path = tmp_path / "netG_epoch_14.pth"
-    torch.save({k: torch.from_numpy(np.asarray(v, np.float32))
-                for k, v in gsd.items()}, str(path))
+    _save_sd(path, gsd)
     monkeypatch.setenv("SCRATCH", str(tmp_path))
     monkeypatch.setenv("DEV", "1")
     rc = main(["generate", "--family", "dcgan", "--num-images", "2",
@@ -354,17 +365,9 @@ def test_cli_import_torch_materializes_run(tmp_path, monkeypatch):
     the state_dict doesn't carry are auto-skipped."""
     from vitgan_tpu.cli import main
 
-    r = np.random.RandomState(8)
-    gsd = {"main.0.weight": r.randn(100, 256, 4, 4),
-           "main.2.weight": r.randn(256, 128, 4, 4),
-           "main.5.weight": r.randn(128, 64, 4, 4),
-           "main.7.weight": r.randn(64, 3, 4, 4),
-           "main.3.weight": r.randn(128), "main.3.bias": r.randn(128),
-           "main.3.running_mean": r.randn(128),
-           "main.3.running_var": r.rand(128) + 0.5}
+    gsd = _dcgan_g_sd(8)
     path = tmp_path / "netG.pth"
-    torch.save({k: torch.from_numpy(np.asarray(v, np.float32))
-                for k, v in gsd.items()}, str(path))
+    _save_sd(path, gsd)
     monkeypatch.setenv("SCRATCH", str(tmp_path))
     monkeypatch.setenv("DEV", "1")
     rc = main(["import-torch", str(path), "--family", "dcgan",
@@ -393,17 +396,9 @@ def test_serve_loads_imported_run(tmp_path, monkeypatch):
     from vitgan_tpu.cli import main
     from vitgan_tpu.serve import load_service
 
-    r = np.random.RandomState(9)
-    gsd = {"main.0.weight": r.randn(100, 256, 4, 4),
-           "main.2.weight": r.randn(256, 128, 4, 4),
-           "main.5.weight": r.randn(128, 64, 4, 4),
-           "main.7.weight": r.randn(64, 3, 4, 4),
-           "main.3.weight": r.randn(128), "main.3.bias": r.randn(128),
-           "main.3.running_mean": r.randn(128),
-           "main.3.running_var": r.rand(128) + 0.5}
+    gsd = _dcgan_g_sd(9)
     path = tmp_path / "netG.pth"
-    torch.save({k: torch.from_numpy(np.asarray(v, np.float32))
-                for k, v in gsd.items()}, str(path))
+    _save_sd(path, gsd)
     monkeypatch.setenv("SCRATCH", str(tmp_path))
     monkeypatch.setenv("DEV", "1")
     assert main(["import-torch", str(path), "--family", "dcgan",
@@ -419,17 +414,9 @@ def test_finetune_from_imported_run(tmp_path, monkeypatch):
     weights (restores step 0, then trains)."""
     from vitgan_tpu.cli import main
 
-    r = np.random.RandomState(10)
-    gsd = {"main.0.weight": r.randn(100, 256, 4, 4),
-           "main.2.weight": r.randn(256, 128, 4, 4),
-           "main.5.weight": r.randn(128, 64, 4, 4),
-           "main.7.weight": r.randn(64, 3, 4, 4),
-           "main.3.weight": r.randn(128), "main.3.bias": r.randn(128),
-           "main.3.running_mean": r.randn(128),
-           "main.3.running_var": r.rand(128) + 0.5}
+    gsd = _dcgan_g_sd(10)
     path = tmp_path / "netG.pth"
-    torch.save({k: torch.from_numpy(np.asarray(v, np.float32))
-                for k, v in gsd.items()}, str(path))
+    _save_sd(path, gsd)
     monkeypatch.setenv("SCRATCH", str(tmp_path))
     monkeypatch.setenv("DEV", "1")
     sets = ["--set", "dcgan.base_width=64", "--set", "dcgan.batch_size=8"]

@@ -96,6 +96,12 @@ def cmd_train(args) -> int:
     return 0
 
 
+def _num_heads(cfg) -> int:
+    """Attention head count for torch-import conversions (v2 families; the
+    reference default is 4, ref:src/v2/utils.py:26)."""
+    return getattr(cfg.model, "num_heads", 4)
+
+
 def _warm_start_d(trainer, path: str, cfg) -> int:
     """Warm-start the discriminator from a reference torch checkpoint
     (ref:src/v2/modules.py:429-440 role, via utils/torch_port) or from another
@@ -103,9 +109,8 @@ def _warm_start_d(trainer, path: str, cfg) -> int:
     from vitgan_tpu.utils.torch_port import TORCH_SUFFIXES, import_checkpoint
 
     if path.endswith(TORCH_SUFFIXES):
-        num_heads = getattr(cfg.model, "num_heads", 4)
         variables = import_checkpoint(path, cfg.family, role="discriminator",
-                                      num_heads=num_heads)
+                                      num_heads=_num_heads(cfg))
     else:
         from vitgan_tpu.ops.policy import apply_from_runtime
         from vitgan_tpu.utils.run_dirs import restore_run
@@ -137,7 +142,7 @@ def _generate_from_torch(args) -> int:
     cfg = _build_cfg(args)
     gan = build_gan(cfg)
     g_vars = import_checkpoint(args.from_torch, cfg.family, role="generator",
-                               num_heads=getattr(cfg.model, "num_heads", 4))
+                               num_heads=_num_heads(cfg))
     g_vars = jax.tree.map(jax.numpy.asarray, g_vars)
     sample = make_sample_fn(gan, cfg)
     z = gan.sample_latent(jax.random.PRNGKey(args.seed or 0), args.num_images)
@@ -172,7 +177,6 @@ def cmd_import_torch(args) -> int:
     apply_from_runtime(cfg.runtime)
     gan = build_gan(cfg)
     state = create_train_state(jax.random.PRNGKey(cfg.model.seed), gan, cfg)
-    num_heads = getattr(cfg.model, "num_heads", 4)
     sd = load_torch_state_dict(args.path)
 
     if args.roles:
@@ -188,7 +192,7 @@ def cmd_import_torch(args) -> int:
     for role in roles:
         try:
             variables = import_checkpoint(sd, cfg.family, role=role,
-                                          num_heads=num_heads)
+                                          num_heads=_num_heads(cfg))
         except (KeyError, ValueError) as e:
             # KeyError: role's keys absent.  ValueError: keys present but the
             # wrong module (e.g. a DCGAN G-only state_dict also has
