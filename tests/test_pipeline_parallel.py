@@ -378,6 +378,45 @@ def test_pp_tp_train_step_matches_sequential(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_pp_fsdp_forward_and_grad_match(rng):
+    """PP x FSDP: the DATA axis goes auto (tp_axis mechanism, dp_axis=None) —
+    ZeRO-sharded block params and the GSPMD-sharded batch ride through the
+    pipeline; forward and grads must equal the sequential replicated loop."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2),
+                axis_names=("data", "pipe"))
+    k1, k2, k3 = jax.random.split(rng, 3)
+    blocks = _toy_blocks(k1, depth=4)
+    x = jax.random.normal(k2, (BATCH, TOK, DIM))
+    cot = jax.random.normal(k3, (BATCH, TOK, DIM))
+    stacked = stack_blocks(blocks)
+    stacked = {  # ZeRO: rows of w over data; depth over pipe
+        "w": jax.device_put(stacked["w"],
+                            NamedSharding(mesh, P("pipe", "data", None))),
+        "b": jax.device_put(stacked["b"], NamedSharding(mesh, P("pipe"))),
+    }
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+    def run(s, x):
+        return pipeline_blocks(s, x, mesh=mesh, axis="pipe", microbatches=4,
+                               block_fn=_toy_block_fn, dp_axis=None,
+                               tp_axis="data")
+
+    got = jax.jit(run)(stacked, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_sequential(blocks, x)),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_pp(s, x):
+        return jnp.sum(run(s, x) * cot)
+
+    g_pp = jax.jit(jax.grad(loss_pp))(stacked, xs)
+    g_seq = jax.grad(lambda bl, x: jnp.sum(_sequential(bl, x) * cot))(blocks, x)
+    np.testing.assert_allclose(np.asarray(g_pp["w"]),
+                               np.asarray(stack_blocks(g_seq)["w"]),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_pp_tp_bf16_on_cpu_fails_loud(rng):
     """bf16 + PP+TP on the CPU backend must raise (upstream XLA:CPU
     AllReducePromotion abort, scripts/repro_xla_allreduce_bug.py), not

@@ -542,9 +542,10 @@ def cmd_sweep(args) -> int:
     if args.vectorize:
         from vitgan_tpu.hpo.sweep import run_sweep_vectorized
 
-        if args.trial_stride > 1:
+        if args.trial_stride > 1 or args.trial_offset != 0:
             raise ValueError("--vectorize replaces host striding (trials "
-                             "parallelize on-device); drop --trial-stride")
+                             "parallelize on-device); drop --trial-stride/"
+                             "--trial-offset")
         best = run_sweep_vectorized(num_trials=args.num_trials,
                                     epochs_per_trial=args.epochs or 1,
                                     seed=args.seed or 0,

@@ -49,6 +49,37 @@ def _trial_config(base, trial: Dict[str, Any]):
     )
 
 
+
+_EMPTY_BEST = {"trial": None, "params": None, "fid": float("inf")}
+
+
+def _sweep_base(base_cfg, epochs_per_trial: int, dataset: str):
+    from vitgan_tpu import config as C
+
+    return base_cfg or C.replace(
+        C.ExperimentConfig(family="v2", data=C.DataConfig(dataset=dataset)),
+        **{"run.epochs": epochs_per_trial, "run.checkpoint_every_epochs": 0,
+           "run.sample_grid_every_epochs": 0},
+    )
+
+
+def _sweep_paths(run_base):
+    from vitgan_tpu import config as C
+
+    out_dir = run_base or os.path.join(C.scratch_root(), "sweeps")
+    os.makedirs(out_dir, exist_ok=True)
+    return out_dir, os.path.join(out_dir, "sweep_results.jsonl")
+
+
+def _finish_sweep(results, out_dir) -> Dict[str, Any]:
+    if not results:
+        return dict(_EMPTY_BEST)
+    best = min(results, key=lambda r: r["fid"] if math.isfinite(r["fid"]) else 1e18)
+    with open(os.path.join(out_dir, "best_config.json"), "w") as f:
+        json.dump(best, f, indent=2)
+    return best
+
+
 def run_sweep(num_trials: int = 10, epochs_per_trial: int = 1, seed: int = 0,
               dataset: str = "synthetic", base_cfg=None,
               run_base: Optional[str] = None,
@@ -69,15 +100,9 @@ def run_sweep(num_trials: int = 10, epochs_per_trial: int = 1, seed: int = 0,
             f"trial_stride={trial_stride} (valid: 0..{max(1, trial_stride) - 1}) — "
             "an out-of-range offset would silently run zero trials")
     rng = np.random.default_rng(seed)
-    base = base_cfg or C.replace(
-        C.ExperimentConfig(family="v2", data=C.DataConfig(dataset=dataset)),
-        **{"run.epochs": epochs_per_trial, "run.checkpoint_every_epochs": 0,
-           "run.sample_grid_every_epochs": 0},
-    )
+    base = _sweep_base(base_cfg, epochs_per_trial, dataset)
     results: List[Dict[str, Any]] = []
-    out_dir = run_base or os.path.join(C.scratch_root(), "sweeps")
-    os.makedirs(out_dir, exist_ok=True)
-    log_path = os.path.join(out_dir, "sweep_results.jsonl")
+    out_dir, log_path = _sweep_paths(run_base)
     for i in range(num_trials):
         trial = sample_search_space(rng)  # drawn by every host for determinism
         if i % max(1, trial_stride) != trial_offset:
@@ -91,12 +116,7 @@ def run_sweep(num_trials: int = 10, epochs_per_trial: int = 1, seed: int = 0,
         results.append(rec)
         with open(log_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
-    if not results:
-        return {"trial": None, "params": None, "fid": float("inf")}
-    best = min(results, key=lambda r: r["fid"] if math.isfinite(r["fid"]) else 1e18)
-    with open(os.path.join(out_dir, "best_config.json"), "w") as f:
-        json.dump(best, f, indent=2)
-    return best
+    return _finish_sweep(results, out_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -141,30 +161,44 @@ def run_sweep_vectorized(num_trials: int = 10, epochs_per_trial: int = 1,
     from vitgan_tpu.train.state import create_train_state
     from vitgan_tpu.train.step import make_raw_train_step, make_sample_fn
 
+    import logging
+
+    log = logging.getLogger("vitgan_tpu.sweep")
     rng = np.random.default_rng(seed)
     trials = [(i, sample_search_space(rng)) for i in range(num_trials)]
     groups: Dict[Any, List] = {}
     for i, t in trials:
         groups.setdefault(_shape_key(t), []).append((i, t))
 
-    base = base_cfg or C.replace(
-        C.ExperimentConfig(family="v2", data=C.DataConfig(dataset=dataset)),
-        **{"run.epochs": epochs_per_trial, "run.checkpoint_every_epochs": 0,
-           "run.sample_grid_every_epochs": 0},
-    )
-    out_dir = run_base or os.path.join(C.scratch_root(), "sweeps")
-    os.makedirs(out_dir, exist_ok=True)
-    log_path = os.path.join(out_dir, "sweep_results.jsonl")
+    base = _sweep_base(base_cfg, epochs_per_trial, dataset)
+    out_dir, log_path = _sweep_paths(run_base)
 
     results: List[Dict[str, Any]] = []
     for key, members in sorted(groups.items()):
         k = len(members)
+        clip_dropped = any(
+            getattr(base.model, nm).grad_clip is not None
+            for nm in ("gen_optim", "disc_optim"))
         cfg = C.replace(
             _trial_config(base, members[0][1]),
             **{"v2.gen_optim.inject_lr": True, "v2.disc_optim.inject_lr": True,
                "v2.gen_optim.grad_clip": None, "v2.disc_optim.grad_clip": None,
                "runtime.use_pallas": "never", "runtime.donate_state": False},
         )
+        if clip_dropped:
+            # inject_lr cannot carry a clip wrapper (make_optimizer guard) —
+            # vectorized trials therefore train UNCLIPPED; surface it so
+            # rankings are not silently incomparable to sequential runs.
+            log.warning("vectorized sweep drops grad_clip for group %s "
+                        "(inject_lr is incompatible with clip wrappers); "
+                        "re-validate the winning config with a real training "
+                        "run", key)
+        # the overrides above are runtime POLICY, which is process-global:
+        # without this the vmapped step could still route into pallas_call
+        # (no batching rule) under a previously-applied policy.
+        from vitgan_tpu.ops.policy import apply_from_runtime
+
+        apply_from_runtime(cfg.runtime)
         gan = build_gan(cfg)
         m = cfg.model
         keys = jnp.stack([jax.random.PRNGKey(seed * 1000 + i) for i, _ in members])
@@ -191,25 +225,38 @@ def run_sweep_vectorized(num_trials: int = 10, epochs_per_trial: int = 1,
         extractor = FID.make_feature_extractor("random_conv", m.channels)
         sample_fn = make_sample_fn(gan, cfg)
         num_fid = min(base.run.fid_num_samples, pipeline.num_samples)
+        # real-side moments once per GROUP — identical for every trial slot
+        real_stats = None
+        seen = 0
+        for rb, _ in pipeline.epoch():
+            rb = FID.to_uint8(np.asarray(rb))
+            take = min(len(rb), num_fid - seen)
+            if take <= 0:
+                break
+            feats = extractor(rb[:take])
+            if real_stats is None:
+                real_stats = FID.FeatureStats(feats.shape[-1])
+            real_stats.update(feats)
+            seen += take
+        mu_r, cov_r = real_stats.moments()
         for slot, (i, t) in enumerate(members):
             st = jax.tree.map(lambda x, s=slot: x[s], states)
-
-            def sample_batch(rng_k, n, st=st):
-                z = gan.sample_latent(rng_k, n)
-                return np.asarray(sample_fn(st.g_vars_ema, z))
-
-            real_batches = (np.asarray(x) for x, _ in pipeline.epoch())
-            fid = FID.compute_fid(sample_batch, real_batches, extractor,
-                                  rng=jax.random.PRNGKey(10_000 + i),
-                                  num_samples=num_fid,
-                                  batch_size=m.batch_size)
+            fake_stats = FID.FeatureStats(len(mu_r))
+            frng = jax.random.PRNGKey(10_000 + i)
+            generated = 0
+            while generated < seen:
+                frng, fk = jax.random.split(frng)
+                n = min(m.batch_size, seen - generated)
+                z = gan.sample_latent(fk, n)
+                fakes = np.asarray(sample_fn(st.g_vars_ema, z))
+                fake_stats.update(extractor(FID.to_uint8(fakes)))
+                generated += n
+            mu_f, cov_f = fake_stats.moments()
+            fid = FID.frechet_distance(mu_r, cov_r, mu_f, cov_f)
             rec = {"trial": i, "params": t, "fid": float(fid),
                    "vectorized_group": list(key), "group_size": k}
             results.append(rec)
             with open(log_path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
 
-    best = min(results, key=lambda r: r["fid"] if math.isfinite(r["fid"]) else 1e18)
-    with open(os.path.join(out_dir, "best_config.json"), "w") as f:
-        json.dump(best, f, indent=2)
-    return best
+    return _finish_sweep(results, out_dir)
