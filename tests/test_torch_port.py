@@ -1,4 +1,4 @@
-"""Torch checkpoint import (utils/torch_port.py).
+"""Torch checkpoint interop (utils/torch_port.py + utils/torch_export.py).
 
 Three layers of evidence:
 - layer-level oracles: converted weights reproduce torch.nn.functional ops

@@ -12,6 +12,10 @@ Trials run sequentially on the local chip (process-level trial parallelism
 across hosts/slices is a launcher concern: each host runs a disjoint trial
 range via --set sweep indices).  Metric: min FID, matching tune.run(metric=
 "fid_score", mode="min") (ref:src/v2/training.py:285-292).
+
+:func:`run_sweep_vectorized` (CLI ``sweep --vectorize``) is the on-device
+alternative: trials sharing a model shape train SIMULTANEOUSLY as one vmapped
+step with per-trial learning rates carried in the optimizer state.
 """
 
 from __future__ import annotations
