@@ -92,7 +92,13 @@ def cmd_train(args) -> int:
                   file=sys.stderr)
     elif getattr(args, "warm_start_d", None):
         _warm_start_d(trainer, args.warm_start_d, cfg)
-    trainer.fit()
+    from vitgan_tpu.utils.preemption import graceful_preemption
+
+    # SIGTERM (spot/TPU-pod preemption) stops at the next step-group boundary
+    # and flows through the trainer's crash-safe checkpoint epilogue; resume
+    # with `train --resume` re-runs the interrupted epoch.
+    with graceful_preemption():
+        trainer.fit()
     return 0
 
 
@@ -397,6 +403,14 @@ def cmd_serve(args) -> int:
                   best=args.best)
     print(f"serving {run_dirs} on http://{args.host}:{httpd.server_address[1]} "
           f"(GET /healthz, /metrics, POST /sample)")
+    # SIGTERM (spot preemption / orchestrator stop) drains like Ctrl-C:
+    # shutdown() stops accepting and lets in-flight requests finish.
+    import signal as _signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    _signal.signal(_signal.SIGTERM, _term)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
@@ -539,6 +553,15 @@ def cmd_profile(args) -> int:
 
 
 def cmd_sweep(args) -> int:
+    from vitgan_tpu.utils.preemption import graceful_preemption
+
+    # SIGTERM between trials finishes the sweep over the completed trials
+    # (each is already durable in the JSONL) instead of losing the summary.
+    with graceful_preemption():
+        return _cmd_sweep_inner(args)
+
+
+def _cmd_sweep_inner(args) -> int:
     if args.vectorize:
         from vitgan_tpu.hpo.sweep import run_sweep_vectorized
 

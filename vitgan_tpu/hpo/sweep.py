@@ -27,6 +27,8 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
+from vitgan_tpu.utils import preemption
+
 
 def sample_search_space(rng: np.random.Generator) -> Dict[str, Any]:
     return {
@@ -120,6 +122,11 @@ def run_sweep(num_trials: int = 10, epochs_per_trial: int = 1, seed: int = 0,
         results.append(rec)
         with open(log_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if preemption.requested():
+            # SIGTERM (utils/preemption.py): the completed trials are already
+            # durable in the JSONL — finish the sweep over what we have
+            # instead of dying between trials.
+            break
     return _finish_sweep(results, out_dir)
 
 

@@ -32,6 +32,7 @@ from vitgan_tpu.train import fid as FID
 from vitgan_tpu.train.state import create_train_state
 from vitgan_tpu.train.step import make_sample_fn, make_train_step
 from vitgan_tpu.utils import MetricLogger, construct_directories, get_logger
+from vitgan_tpu.utils import preemption
 from vitgan_tpu.utils.checkpoint import CheckpointManager
 from vitgan_tpu.utils.images import make_grid, save_image_grid
 
@@ -403,6 +404,18 @@ class Trainer:
                             "epoch %d step %d | D %.4f G %.4f",
                             epoch, i + 1, float(np.mean(lm["d"])), float(np.mean(lm["g"])),
                         )
+                    if preemption.requested():
+                        break
+                if preemption.requested():
+                    # SIGTERM during the epoch (utils/preemption.py): stop
+                    # before touching self.epoch so the crash-safe finally
+                    # persists THIS epoch as next-to-run — the same
+                    # re-run-the-incomplete-epoch convention as a crash.
+                    self.log.info(
+                        "preemption requested — stopping in epoch %d after %d images",
+                        epoch, images_done,
+                    )
+                    break
                 # ONE jitted aggregation + ONE device->host transfer per epoch:
                 # eager per-metric concatenation would launch hundreds of tiny
                 # device ops, each paying the device-link round trip.
