@@ -63,3 +63,35 @@ def test_trainer_preempted_fit_checkpoints_and_resumes(tmp_path):
     assert int(tr2.state.step) == step_after
     tr2.fit(epochs=1)  # and training continues from the restored state
     assert int(tr2.state.step) > step_after
+
+
+def test_abort_on_nan_skips_poisoned_final_save(tmp_path):
+    """Failure detection: non-finite losses abort the run and the epilogue
+    must NOT overwrite the latest durable checkpoint with NaN weights."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg = C.replace(
+        C.smoke_config("mlp"),
+        **{"run.checkpoint_every_epochs": 1, "run.fid_every_epochs": 0,
+           "run.fid_num_samples": 32, "run_name": "nan1"},
+    )
+    tr = Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
+    tr.fit(epochs=1)  # one finite epoch -> durable checkpoints exist
+    good_step = tr.ckpts.latest_step()
+    assert good_step is not None
+
+    tr.state = dataclasses.replace(
+        tr.state,
+        g_params=jax.tree.map(lambda x: jnp.full_like(x, jnp.nan), tr.state.g_params),
+    )
+    tr.fit(epochs=2)  # epoch 1 means go NaN -> abort before any save
+    assert tr._poisoned
+    assert tr.ckpts.latest_step() == good_step  # poisoned state never saved
+
+    tr2 = Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
+    tr2.resume()
+    assert all(bool(jnp.isfinite(leaf).all())
+               for leaf in jax.tree.leaves(tr2.state.g_params))

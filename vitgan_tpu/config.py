@@ -359,6 +359,12 @@ class TrainRunConfig:
     # steady sub-delta improvements would otherwise stop a converging run).
     early_stop_min_delta: float = 2.0
     ema_decay: float = 0.0  # >0 keeps an EMA copy of G params for sampling/FID
+    # Failure detection: non-finite epoch-mean losses abort the run (NaN
+    # params never recover in GAN training).  The epilogue then SKIPS the
+    # final state save so `--resume` restores the last finite checkpoint
+    # instead of the poisoned state.  Costs nothing: the per-epoch means are
+    # already materialized on the host for logging.
+    abort_on_nan: bool = True
 
 
 @dataclass(frozen=True)

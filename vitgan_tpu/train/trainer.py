@@ -384,6 +384,7 @@ class Trainer:
         epochs = epochs if epochs is not None else run.epochs
         last: Dict[str, float] = {}
         t_start = time.time()
+        self._poisoned = False  # set when abort_on_nan trips (skip final save)
         try:
             # Input/noise reference grids once per run (ref:src/v2/training.py:166-168).
             first_real, _ = next(iter(self.pipeline.epoch()))
@@ -429,6 +430,21 @@ class Trainer:
                 self.metrics.scalars(
                     {f"train/{k}": v for k, v in means.items()}, int(self.state.step)
                 )
+                if run.abort_on_nan and not all(
+                    np.isfinite(means.get(k, 0.0)) for k in ("d_loss", "g_loss")
+                ):
+                    # NaN params never recover in GAN training: stop NOW,
+                    # before grids/FID/periodic save touch the poisoned state.
+                    self._poisoned = True
+                    last = means
+                    self.log.error(
+                        "non-finite losses at epoch %d (d_loss=%s g_loss=%s) — "
+                        "aborting; the final-state save is skipped so resume "
+                        "restores the last finite checkpoint (step %s)",
+                        epoch, means.get("d_loss"), means.get("g_loss"),
+                        self.ckpts.latest_step(),
+                    )
+                    break
 
                 if run.sample_grid_every_epochs and (epoch + 1) % run.sample_grid_every_epochs == 0:
                     self._save_grids(epoch)
@@ -481,9 +497,16 @@ class Trainer:
             # of the loop body); after a mid-epoch crash it holds the incomplete
             # epoch, which resume should re-run.  No +1 here — that double
             # -incremented and silently skipped an epoch on resume.
-            self.ckpts.save(int(self.state.step), jax.device_get(self.state),
-                            {"epoch": self.epoch, "best_metric": self.best_metric,
-                             "final": True})
+            if getattr(self, "_poisoned", False):
+                # abort_on_nan tripped: persisting the non-finite state would
+                # make it the latest checkpoint and poison `--resume`.
+                self.log.error("final checkpoint SKIPPED: train state is "
+                               "non-finite (last durable step: %s)",
+                               self.ckpts.latest_step())
+            else:
+                self.ckpts.save(int(self.state.step), jax.device_get(self.state),
+                                {"epoch": self.epoch, "best_metric": self.best_metric,
+                                 "final": True})
             self.ckpts.wait()  # the final save must be durable before we return
             self.metrics.save_figures(self.dirs.images)
             try:
