@@ -80,3 +80,19 @@ def test_moving_average_and_early_stopping():
     assert not es.step(10.0)
     assert not es.step(9.8)  # within min_delta: bad epoch 1
     assert es.step(9.9)      # bad epoch 2 -> stop
+
+
+def test_env_manifest_written(tmp_path):
+    """Every run dir records its producing environment (utils/manifest.py)."""
+    import json
+
+    from vitgan_tpu import config as C
+    from vitgan_tpu.train.trainer import Trainer
+
+    cfg = C.replace(C.smoke_config("mlp"), run_name="env1")
+    Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
+    with open(tmp_path / "env1" / "env.json") as f:
+        info = json.load(f)
+    assert info["jax_version"] and info["backend"] == "cpu"
+    assert info["device_count"] == 8  # the virtual test mesh
+    assert "process_count" in info and "code_revision" in info

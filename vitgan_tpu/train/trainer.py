@@ -49,8 +49,10 @@ class Trainer:
         # Persist the exact experiment config so `generate`/resume tooling can
         # rebuild the same model without re-deriving CLI overrides.
         from vitgan_tpu.config import save_config
+        from vitgan_tpu.utils.manifest import write_env_manifest
 
         save_config(cfg, f"{self.dirs.root}/config.json")
+        write_env_manifest(f"{self.dirs.root}/env.json")
         self.log = get_logger("vitgan_tpu", self.dirs.training_log)
         self.metrics = MetricLogger(self.dirs.logs)
         self.ckpts = CheckpointManager(self.dirs.checkpoints, keep=cfg.run.keep_checkpoints)
