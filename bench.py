@@ -168,6 +168,9 @@ def main():
         if base:
             vs = ips_per_chip / base
 
+    from vitgan_tpu.utils.manifest import collect_env
+
+    _env = collect_env()
     print(json.dumps({
         "metric": "images/sec/chip, combined G+D train step, v2 ViT-GAN 32x32 batch %d" % batch,
         "value": round(ips_per_chip, 2),
@@ -177,6 +180,10 @@ def main():
         "block_until_ready_agrees": bool(sync_ok),
         "implied_tflops_per_chip": round(implied_tflops, 2) if implied_tflops else None,
         "step_gflops": round(flops_per_step / 1e9, 2) if flops_per_step else None,
+        # provenance: which code + stack produced this number
+        "code_revision": _env.get("code_revision"),
+        "jax_version": _env.get("jax_version"),
+        "device_kind": _env.get("device_kind"),
     }))
 
 
