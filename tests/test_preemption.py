@@ -95,3 +95,51 @@ def test_abort_on_nan_skips_poisoned_final_save(tmp_path):
     tr2.resume()
     assert all(bool(jnp.isfinite(leaf).all())
                for leaf in jax.tree.leaves(tr2.state.g_params))
+
+
+def test_shield_defers_escalation():
+    """Inside shield() (the checkpoint epilogue) SIGTERM must never raise —
+    only record the request for pollers."""
+    with preemption.graceful_preemption():
+        with preemption.shield():
+            _sigterm_self()
+            _sigterm_self()  # would escalate to KeyboardInterrupt unshielded
+            assert preemption.requested()
+        assert preemption.requested()  # still visible after the shield
+
+
+def test_nested_scope_is_passthrough():
+    """An inner graceful_preemption() (sweep wrapping trainer fits) must not
+    steal the handler or clear a pending outer request on exit."""
+    with preemption.graceful_preemption():
+        _sigterm_self()
+        with preemption.graceful_preemption():
+            assert preemption.requested()
+        assert preemption.requested()  # inner exit didn't clear the flag
+
+
+def test_preempted_exit_still_catches_nan(tmp_path):
+    """SIGTERM mid-epoch bypasses the per-epoch loss check; the epilogue's
+    host-side finiteness check must still refuse to save NaN weights."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg = C.replace(
+        C.smoke_config("mlp"),
+        **{"run.checkpoint_every_epochs": 1, "run.fid_every_epochs": 0,
+           "run.fid_num_samples": 32, "run_name": "nan2"},
+    )
+    tr = Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
+    tr.fit(epochs=1)
+    good_step = tr.ckpts.latest_step()
+    tr.state = dataclasses.replace(
+        tr.state,
+        d_params=jax.tree.map(lambda x: jnp.full_like(x, jnp.nan), tr.state.d_params),
+    )
+    with preemption.graceful_preemption():
+        _sigterm_self()  # preemption break skips the per-epoch means check
+        tr.fit(epochs=2)
+    assert tr._poisoned  # caught by the epilogue finiteness check instead
+    assert tr.ckpts.latest_step() == good_step

@@ -415,6 +415,10 @@ def cmd_serve(args) -> int:
         httpd.serve_forever()
     except KeyboardInterrupt:
         httpd.shutdown()
+    finally:
+        # Joins in-flight handler threads (serve() makes them non-daemon):
+        # the current responses complete before the process exits.
+        httpd.server_close()
     return 0
 
 

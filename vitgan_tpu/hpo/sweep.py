@@ -116,17 +116,18 @@ def run_sweep(num_trials: int = 10, epochs_per_trial: int = 1, seed: int = 0,
         cfg = C.replace(_trial_config(base, trial), run_name=f"trial_{i:03d}")
         trainer = Trainer(cfg, run_base=out_dir, fid_extractor="random_conv")
         metrics = trainer.fit(epochs=epochs_per_trial)
+        if preemption.requested():
+            # SIGTERM (utils/preemption.py) interrupted THIS fit: its metrics
+            # describe a partial trial — recording them would poison the
+            # merged ranking.  Discard it and finish the sweep over the
+            # trials already durable in the JSONL.
+            break
         fid = metrics.get("fid", float("inf"))
         rec = {"trial": i, "params": trial, "fid": fid,
                "metrics": {k: v for k, v in metrics.items() if isinstance(v, float)}}
         results.append(rec)
         with open(log_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
-        if preemption.requested():
-            # SIGTERM (utils/preemption.py): the completed trials are already
-            # durable in the JSONL — finish the sweep over what we have
-            # instead of dying between trials.
-            break
     return _finish_sweep(results, out_dir)
 
 
@@ -225,13 +226,26 @@ def run_sweep_vectorized(num_trials: int = 10, epochs_per_trial: int = 1,
                                  m.channels, seed=m.seed,
                                  synthetic_samples=cfg.data.synthetic_samples)
         steps_cap = base.run.steps_per_epoch
+        preempted = False
         for _epoch in range(epochs_per_trial):
             for s_i, (real, _) in enumerate(pipeline.epoch()):
                 if real.shape[0] != m.batch_size:
                     continue  # fixed-shape vmapped step: skip partial batches
                 states, metrics = vstep(states, jnp.asarray(real))
+                if preemption.requested():
+                    preempted = True
+                    break
                 if steps_cap and s_i + 1 >= steps_cap:
                     break
+            if preempted:
+                break
+        if preempted:
+            # SIGTERM (utils/preemption.py): this group is partially trained —
+            # scoring it would rank half-trained trials against finished ones.
+            # Abandon it; earlier groups are already durable in the JSONL.
+            log.warning("preemption: abandoning vectorized group %s "
+                        "mid-training (no records written)", key)
+            break
 
         extractor = FID.make_feature_extractor("random_conv", m.channels)
         sample_fn = make_sample_fn(gan, cfg)

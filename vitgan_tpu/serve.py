@@ -373,6 +373,12 @@ def serve(run_dirs, host: str = "127.0.0.1", port: int = 8000,
     services = {name: load_service(d, batch=batch, best=best)
                 for name, d in zip(names, run_dirs)}
     httpd = ThreadingHTTPServer((host, port), _make_handler(services))
+    # Drain on shutdown: ThreadingHTTPServer defaults to daemon request
+    # threads, which die with the process mid-response.  Non-daemon threads +
+    # block_on_close make server_close() join in-flight handlers, so SIGTERM/
+    # Ctrl-C lets the current batch finish (the CLI calls server_close()).
+    httpd.daemon_threads = False
+    httpd.block_on_close = True
     httpd.services = services  # exposed for tests/introspection
     httpd.service = next(iter(services.values()))  # back-compat single-model handle
     return httpd

@@ -37,6 +37,15 @@ from vitgan_tpu.utils.checkpoint import CheckpointManager
 from vitgan_tpu.utils.images import make_grid, save_image_grid
 
 
+def _params_finite(host_state) -> bool:
+    """All G/D parameter leaves finite?  Host-side (numpy) — called on the
+    epilogue's already-fetched state, so it costs one isfinite pass."""
+    leaves = jax.tree.leaves({"g": host_state.g_params, "d": host_state.d_params})
+    # float32 view: np.isfinite rejects ml_dtypes bfloat16 arrays directly.
+    return all(bool(np.isfinite(np.asarray(leaf, np.float32)).all())
+               for leaf in leaves)
+
+
 class Trainer:
     def __init__(self, cfg: ExperimentConfig, mesh=None, run_base: Optional[str] = None,
                  fid_extractor: str = "auto"):
@@ -499,17 +508,30 @@ class Trainer:
             # of the loop body); after a mid-epoch crash it holds the incomplete
             # epoch, which resume should re-run.  No +1 here — that double
             # -incremented and silently skipped an epoch on resume.
-            if getattr(self, "_poisoned", False):
-                # abort_on_nan tripped: persisting the non-finite state would
-                # make it the latest checkpoint and poison `--resume`.
-                self.log.error("final checkpoint SKIPPED: train state is "
-                               "non-finite (last durable step: %s)",
-                               self.ckpts.latest_step())
-            else:
-                self.ckpts.save(int(self.state.step), jax.device_get(self.state),
-                                {"epoch": self.epoch, "best_metric": self.best_metric,
-                                 "final": True})
-            self.ckpts.wait()  # the final save must be durable before we return
+            # shield(): a further SIGTERM during this epilogue must not
+            # unwind mid-save and destroy the checkpoint the FIRST SIGTERM
+            # was sent to trigger (utils/preemption.py).
+            with preemption.shield():
+                host_state = jax.device_get(self.state)
+                if not getattr(self, "_poisoned", False) and run.abort_on_nan \
+                        and not _params_finite(host_state):
+                    # Exits that bypass the per-epoch loss check (preemption
+                    # break, an exception mid-epoch) can still carry NaN
+                    # params — catch them here, on the already-fetched state.
+                    self._poisoned = True
+                    self.log.error("non-finite parameters detected at exit")
+                if getattr(self, "_poisoned", False):
+                    # abort_on_nan tripped: persisting the non-finite state
+                    # would make it the latest checkpoint and poison resume.
+                    self.log.error("final checkpoint SKIPPED: train state is "
+                                   "non-finite (last durable step: %s)",
+                                   self.ckpts.latest_step())
+                else:
+                    self.ckpts.save(int(host_state.step), host_state,
+                                    {"epoch": self.epoch,
+                                     "best_metric": self.best_metric,
+                                     "final": True})
+                self.ckpts.wait()  # the final save must be durable before we return
             self.metrics.save_figures(self.dirs.images)
             try:
                 # Label the final grid with the LAST COMPLETED epoch —

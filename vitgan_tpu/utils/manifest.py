@@ -49,6 +49,15 @@ def collect_env() -> Dict[str, Any]:
         pass
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     try:
+        # Only trust the hash when the repo's TOPLEVEL is the framework
+        # checkout itself: a pip-installed package inside someone else's git
+        # repo would otherwise record THEIR unrelated HEAD as code_revision.
+        top = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "--show-toplevel"],
+            capture_output=True, text=True, timeout=5, check=True,
+        ).stdout.strip()
+        if os.path.realpath(top) != os.path.realpath(repo):
+            raise ValueError("enclosing git repo is not the framework checkout")
         info["code_revision"] = subprocess.run(
             ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True, timeout=5, check=True,

@@ -33,6 +33,7 @@ from typing import Iterator
 
 _requested = threading.Event()
 _installed = False
+_shielded = False
 
 
 def requested() -> bool:
@@ -41,6 +42,12 @@ def requested() -> bool:
 
 
 def _handler(signum, frame):
+    if _shielded:
+        # Inside shield() (the checkpoint epilogue): record the request but
+        # never unwind — an escalation here would destroy the very save the
+        # first SIGTERM triggered.
+        _requested.set()
+        return
     if _requested.is_set():
         # Second signal: the poll point was never reached (stuck compile /
         # device hang) — unwind NOW through the trainer's finally.
@@ -49,9 +56,28 @@ def _handler(signum, frame):
 
 
 @contextlib.contextmanager
+def shield() -> Iterator[None]:
+    """Scope where SIGTERM can never raise — wrap must-complete cleanup
+    (the final durable checkpoint).  Requests are still recorded."""
+    global _shielded
+    prev = _shielded
+    _shielded = True
+    try:
+        yield
+    finally:
+        _shielded = prev
+
+
+@contextlib.contextmanager
 def graceful_preemption() -> Iterator[None]:
     """Scope in which SIGTERM requests a stop instead of killing the process."""
     global _installed
+    if _installed:
+        # Nested scope (e.g. sweep wrapping trainer fits): the outer scope
+        # owns the handler AND the flag — clearing it here would drop a
+        # pending outer request on inner exit.
+        yield
+        return
     _requested.clear()
     try:
         prev = signal.signal(signal.SIGTERM, _handler)
