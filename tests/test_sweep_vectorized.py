@@ -34,10 +34,26 @@ def test_inject_lr_guards():
     with pytest.raises(ValueError, match="constant"):
         make_optimizer(C.OptimConfig(inject_lr=True, schedule="cosine",
                                      decay_steps=10))
-    with pytest.raises(ValueError, match="grad_clip"):
-        make_optimizer(C.OptimConfig(inject_lr=True, grad_clip=1.0))
     with pytest.raises(ValueError, match="grad_accum"):
         make_optimizer(C.OptimConfig(inject_lr=True, grad_accum=2))
+
+
+def test_inject_lr_composes_with_grad_clip():
+    """Clip chains INSIDE the injected maker: inject_lr + grad_clip must be
+    numerically identical to the baked clipped optimizer, and the hyperparams
+    leaf must stay at the top of the state (the vectorized sweep rewrites it)."""
+    kw = dict(name="adam", learning_rate=3e-3, grad_clip=0.1)
+    baked = make_optimizer(C.OptimConfig(**kw))
+    inj = make_optimizer(C.OptimConfig(**kw, inject_lr=True))
+    p = {"w": jnp.ones((4,))}
+    g = {"w": jnp.full((4,), 7.5)}  # global norm 15 >> 0.1: the clip must bite
+    sb, si = baked.init(p), inj.init(p)
+    assert "learning_rate" in si.hyperparams  # top-level, not buried
+    for _ in range(3):
+        ub, sb = baked.update(g, sb, p)
+        ui, si = inj.update(g, si, p)
+        np.testing.assert_allclose(np.asarray(ub["w"]), np.asarray(ui["w"]),
+                                   rtol=1e-6)
 
 
 def _tiny_trials(monkeypatch, lrs):

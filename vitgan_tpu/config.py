@@ -85,8 +85,8 @@ class OptimConfig:
     # Carry the learning rate IN the optimizer state (optax.inject_hyperparams)
     # instead of baking it into the jitted step — lets vmapped train states
     # hold per-trial lrs (hpo.sweep vectorized mode).  Constant schedule only;
-    # incompatible with grad_clip/grad_accum (they would bury the hyperparams
-    # leaf under wrapper states).
+    # composes with grad_clip (the clip chains inside the injected maker) but
+    # not grad_accum (MultiSteps must stay outermost for opt.mini_step).
     inject_lr: bool = False
 
 

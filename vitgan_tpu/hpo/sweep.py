@@ -188,23 +188,14 @@ def run_sweep_vectorized(num_trials: int = 10, epochs_per_trial: int = 1,
     results: List[Dict[str, Any]] = []
     for key, members in sorted(groups.items()):
         k = len(members)
-        clip_dropped = any(
-            getattr(base.model, nm).grad_clip is not None
-            for nm in ("gen_optim", "disc_optim"))
+        # grad_clip composes with inject_lr (the clip chains inside the
+        # injected maker, train/state.py) — vectorized trials train with the
+        # SAME clipping as sequential ones.
         cfg = C.replace(
             _trial_config(base, members[0][1]),
             **{"v2.gen_optim.inject_lr": True, "v2.disc_optim.inject_lr": True,
-               "v2.gen_optim.grad_clip": None, "v2.disc_optim.grad_clip": None,
                "runtime.use_pallas": "never", "runtime.donate_state": False},
         )
-        if clip_dropped:
-            # inject_lr cannot carry a clip wrapper (make_optimizer guard) —
-            # vectorized trials therefore train UNCLIPPED; surface it so
-            # rankings are not silently incomparable to sequential runs.
-            log.warning("vectorized sweep drops grad_clip for group %s "
-                        "(inject_lr is incompatible with clip wrappers); "
-                        "re-validate the winning config with a real training "
-                        "run", key)
         # the overrides above are runtime POLICY, which is process-global:
         # without this the vmapped step could still route into pallas_call
         # (no batching rule) under a previously-applied policy.

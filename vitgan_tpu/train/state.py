@@ -84,10 +84,10 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
         # can then carry per-trial lrs (hpo.sweep vectorized trials).
         if cfg.schedule != "constant" or cfg.warmup_steps:
             raise ValueError("inject_lr supports constant lr only")
-        if cfg.grad_clip is not None or cfg.grad_accum > 1:
-            raise ValueError("inject_lr is incompatible with grad_clip/"
-                             "grad_accum (wrapper states would bury the "
-                             "hyperparams leaf)")
+        if cfg.grad_accum > 1:
+            # MultiSteps must stay OUTERMOST (train/step reads opt.mini_step
+            # to gate EMA); wrapping it in inject_hyperparams would bury it.
+            raise ValueError("inject_lr is incompatible with grad_accum")
         makers = {
             "adam": lambda learning_rate: optax.adam(
                 learning_rate, b1=cfg.beta1, b2=cfg.beta2),
@@ -98,7 +98,23 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
         }
         if cfg.name not in makers:
             raise ValueError(f"unknown optimizer {cfg.name!r}")
-        return optax.inject_hyperparams(makers[cfg.name])(
+
+        inner = makers[cfg.name]  # closure, NOT a default arg:
+        # inject_hyperparams introspects the factory signature and would
+        # treat any extra parameter as a hyperparameter to inject.
+
+        def _maker(learning_rate):
+            tx = inner(learning_rate)
+            if cfg.grad_clip is not None:
+                # Clip INSIDE the injected maker: inject_hyperparams keeps
+                # its hyperparams leaf at the TOP of the state regardless of
+                # the inner chain, so vmapped per-trial lrs (hpo.sweep) and
+                # clipping compose — vectorized trials clip exactly like
+                # sequential ones.
+                tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+            return tx
+
+        return optax.inject_hyperparams(_maker)(
             learning_rate=cfg.learning_rate)
     lr = make_lr(cfg)
     if cfg.name == "adam":
