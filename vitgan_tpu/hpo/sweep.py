@@ -187,6 +187,10 @@ def run_sweep_vectorized(num_trials: int = 10, epochs_per_trial: int = 1,
 
     results: List[Dict[str, Any]] = []
     for key, members in sorted(groups.items()):
+        if preemption.requested():
+            # SIGTERM during the previous group's FID scoring: stop before
+            # compiling/training another group.
+            break
         k = len(members)
         # grad_clip composes with inject_lr (the clip chains inside the
         # injected maker, train/state.py) — vectorized trials train with the
