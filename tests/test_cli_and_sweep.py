@@ -138,3 +138,54 @@ def test_cli_doctor(tmp_path, monkeypatch, capsys):
     report = _json.loads(out.strip().split("\n")[-1])
     assert report["devices"]["ok"] and "cpu" in report["devices"]["detail"]
     assert report["torch_interop"]["ok"]
+
+
+def test_sweep_resume_skips_recorded_trials(dev_env):
+    """resume=True: trials already in the JSONL are not retrained; the final
+    ranking covers old + new; a seed mismatch fails loudly."""
+    from vitgan_tpu import config as C
+    import vitgan_tpu.hpo.sweep as S
+    from vitgan_tpu.hpo.sweep import run_sweep
+
+    base = C.replace(
+        C.smoke_config("v2"),
+        **{"run.checkpoint_every_epochs": 0, "run.sample_grid_every_epochs": 0,
+           "run.fid_num_samples": 16},
+    )
+    calls = []
+
+    def tiny_space(rng):
+        # depends on rng so different seeds draw different params
+        lr = float(rng.uniform(1e-5, 1e-4))
+        return {"gen_lr": lr, "disc_lr": 1e-4, "embed_dim": 32, "num_heads": 2,
+                "batch_size": 8}
+
+    from vitgan_tpu.train import trainer as T
+
+    orig_fit = T.Trainer.fit
+
+    def counting_fit(self, *a, **kw):
+        calls.append(1)
+        return orig_fit(self, *a, **kw)
+
+    orig = S.sample_search_space
+    S.sample_search_space = tiny_space
+    T.Trainer.fit = counting_fit
+    sweep_dir = str(dev_env / "sweeps_resume")
+    try:
+        run_sweep(num_trials=2, epochs_per_trial=1, base_cfg=base, seed=7,
+                  run_base=sweep_dir)
+        assert len(calls) == 2
+        best = run_sweep(num_trials=3, epochs_per_trial=1, base_cfg=base, seed=7,
+                         run_base=sweep_dir, resume=True)
+        assert len(calls) == 3  # only trial 2 trained on resume
+        lines = open(sweep_dir + "/sweep_results.jsonl").read().strip().splitlines()
+        assert [json.loads(l)["trial"] for l in lines] == [0, 1, 2]
+        assert best["trial"] in (0, 1, 2)  # ranking covers recorded + new
+        # wrong seed draws different params for recorded indices -> loud error
+        with pytest.raises(ValueError, match="resume mismatch"):
+            run_sweep(num_trials=3, epochs_per_trial=1, base_cfg=base, seed=8,
+                      run_base=sweep_dir, resume=True)
+    finally:
+        S.sample_search_space = orig
+        T.Trainer.fit = orig_fit

@@ -576,14 +576,16 @@ def _cmd_sweep_inner(args) -> int:
         best = run_sweep_vectorized(num_trials=args.num_trials,
                                     epochs_per_trial=args.epochs or 1,
                                     seed=args.seed or 0,
-                                    dataset=args.dataset or "synthetic")
+                                    dataset=args.dataset or "synthetic",
+                                    resume=args.resume)
         print(json.dumps(best, indent=2, default=str))
         return 0
     from vitgan_tpu.hpo.sweep import run_sweep
 
     best = run_sweep(num_trials=args.num_trials, epochs_per_trial=args.epochs or 1,
                      seed=args.seed or 0, dataset=args.dataset or "synthetic",
-                     trial_offset=args.trial_offset, trial_stride=args.trial_stride)
+                     trial_offset=args.trial_offset, trial_stride=args.trial_stride,
+                     resume=args.resume)
     print(json.dumps(best, indent=2, default=str))
     return 0
 
@@ -717,6 +719,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="vmap same-shape trials into one jitted step: K "
                         "optimizer states with per-trial lrs train "
                         "simultaneously (one compile per shape group)")
+    s.add_argument("--resume", action="store_true",
+                   help="skip trials already recorded in the sweep dir's "
+                        "JSONL (same --seed draws the same sequence) — picks "
+                        "a preempted sweep up where it stopped")
     s.set_defaults(fn=cmd_sweep)
     return p
 

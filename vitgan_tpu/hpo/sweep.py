@@ -86,16 +86,36 @@ def _finish_sweep(results, out_dir) -> Dict[str, Any]:
     return best
 
 
+def _load_recorded_trials(log_path: str) -> Dict[int, Dict[str, Any]]:
+    """Completed-trial records from a sweep's JSONL, keyed by trial index.
+    Tolerates a torn trailing line (a SIGKILL mid-append)."""
+    done: Dict[int, Dict[str, Any]] = {}
+    if os.path.exists(log_path):
+        with open(log_path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                    done[int(rec["trial"])] = rec
+                except (ValueError, KeyError, TypeError):
+                    continue
+    return done
+
+
 def run_sweep(num_trials: int = 10, epochs_per_trial: int = 1, seed: int = 0,
               dataset: str = "synthetic", base_cfg=None,
               run_base: Optional[str] = None,
-              trial_offset: int = 0, trial_stride: int = 1) -> Dict[str, Any]:
+              trial_offset: int = 0, trial_stride: int = 1,
+              resume: bool = False) -> Dict[str, Any]:
     """Random search; returns the best trial {params, fid}. Results JSONL per trial.
 
     Multi-host trial parallelism (the role Ray played, SURVEY §2.5): every host
     draws the SAME seeded trial sequence and runs the slice
     ``i % trial_stride == trial_offset``; results land in per-trial JSONL lines
     that a coordinator can merge.
+
+    ``resume=True`` skips trials already recorded in the sweep dir's JSONL
+    (same seed => same drawn sequence), so a preempted/crashed sweep picks up
+    where it stopped and the final ranking covers old + new trials.
     """
     from vitgan_tpu import config as C
     from vitgan_tpu.train.trainer import Trainer
@@ -109,9 +129,20 @@ def run_sweep(num_trials: int = 10, epochs_per_trial: int = 1, seed: int = 0,
     base = _sweep_base(base_cfg, epochs_per_trial, dataset)
     results: List[Dict[str, Any]] = []
     out_dir, log_path = _sweep_paths(run_base)
+    done = _load_recorded_trials(log_path) if resume else {}
+    results.extend(done.values())  # prior trials compete in the final ranking
     for i in range(num_trials):
         trial = sample_search_space(rng)  # drawn by every host for determinism
         if i % max(1, trial_stride) != trial_offset:
+            continue
+        if i in done:
+            if done[i].get("params") != trial:
+                # different seed/search space than the recorded sweep — the
+                # index collision would silently mix two different sweeps.
+                raise ValueError(
+                    f"resume mismatch: recorded trial {i} params "
+                    f"{done[i].get('params')} != drawn {trial} — pass the "
+                    "original --seed (or point at a fresh sweep dir)")
             continue
         cfg = C.replace(_trial_config(base, trial), run_name=f"trial_{i:03d}")
         trainer = Trainer(cfg, run_base=out_dir, fid_extractor="random_conv")
@@ -150,7 +181,8 @@ def _set_lr(opt_state, lrs):
 
 def run_sweep_vectorized(num_trials: int = 10, epochs_per_trial: int = 1,
                          seed: int = 0, dataset: str = "synthetic",
-                         base_cfg=None, run_base: Optional[str] = None) -> Dict[str, Any]:
+                         base_cfg=None, run_base: Optional[str] = None,
+                         resume: bool = False) -> Dict[str, Any]:
     """TPU-idiomatic trial parallelism: trials sharing a model SHAPE
     (embed/heads/batch — the only shape-affecting keys in the reference's
     search space, ref:src/v2/training.py:277-283) train SIMULTANEOUSLY as one
@@ -178,14 +210,24 @@ def run_sweep_vectorized(num_trials: int = 10, epochs_per_trial: int = 1,
     log = logging.getLogger("vitgan_tpu.sweep")
     rng = np.random.default_rng(seed)
     trials = [(i, sample_search_space(rng)) for i in range(num_trials)]
-    groups: Dict[Any, List] = {}
-    for i, t in trials:
-        groups.setdefault(_shape_key(t), []).append((i, t))
-
     base = _sweep_base(base_cfg, epochs_per_trial, dataset)
     out_dir, log_path = _sweep_paths(run_base)
 
     results: List[Dict[str, Any]] = []
+    done = _load_recorded_trials(log_path) if resume else {}
+    for i, t in trials:
+        if i in done and done[i].get("params") != t:
+            raise ValueError(
+                f"resume mismatch: recorded trial {i} params "
+                f"{done[i].get('params')} != drawn {t} — pass the original "
+                "--seed (or point at a fresh sweep dir)")
+    results.extend(done.values())  # prior trials compete in the final ranking
+
+    groups: Dict[Any, List] = {}
+    for i, t in trials:
+        if i in done:  # same seed => same draw; the recorded score stands
+            continue
+        groups.setdefault(_shape_key(t), []).append((i, t))
     for key, members in sorted(groups.items()):
         if preemption.requested():
             # SIGTERM during the previous group's FID scoring: stop before
