@@ -20,9 +20,11 @@ shape) is the point.  Numerics: float32 accumulation inside, erf-form GELU
 tokens.
 
 ``encoder_block_fused`` wraps the kernel in a custom_vjp (exact XLA recompute
-backward), and ``maybe_megablock`` routes dropout-free blocks through it when
-``runtime.megablock=on`` — so eval/sampling always qualifies, and training
-qualifies at dropout 0 (no in-kernel RNG yet).  Off by default; the A/B
+backward); ``encoder_block_fused_dropout`` adds in-kernel inverted dropout from
+the TPU hardware PRNG (masks ride along as residuals so the recompute backward
+is exact).  ``maybe_megablock`` routes blocks through them when
+``runtime.megablock=on`` — dropout-free always; train-with-dropout on real TPU
+only (pltpu.prng_seed has no interpret lowering).  Off by default; the A/B
 verdict is pending on-chip measurement (scripts/bench_megablock.py).
 """
 
@@ -348,9 +350,9 @@ encoder_block_fused_dropout.defvjp(_fwd_dropout, _bwd_dropout)
 
 def maybe_megablock(params, x, cfg, rng, train):
     """Policy gate for models/vitgan_v2._encoder_apply: route the block through
-    the fused kernel when enabled and dropout is inactive (the kernel has no
-    in-kernel RNG; train-with-dropout keeps the XLA/flash composition).
-    Returns None when the caller should use the standard path."""
+    the fused kernel when enabled — the dropout-free kernel when dropout is
+    inactive, the hardware-PRNG dropout kernel when training with dropout on a
+    real TPU.  Returns None when the caller should use the standard path."""
     from vitgan_tpu.ops.policy import megablock_enabled, megablock_group, on_tpu
 
     if not megablock_enabled():
