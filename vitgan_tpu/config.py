@@ -266,6 +266,15 @@ class MeshConfig:
     data_axis: str = "data"
     model_axis: str = "model"
     model_parallel: int = 1  # number of devices on the model axis
+    seq_axis: str = "seq"
+    # Sequence (context) parallelism: shard the transformer TOKEN axis over
+    # ``seq`` devices (v2-family encoder stacks).  Activations are pinned with
+    # sharding constraints and GSPMD inserts the K/V all-gathers for attention
+    # (parallel/context_parallel.py holds the manual ring schedule for
+    # beyond-GSPMD scale).  Composes with TP and FSDP; not with PP (the
+    # pipeline shard_map owns the block stack).  Pallas kernels route to XLA
+    # under SP — GSPMD cannot partition a custom call (ops/policy.py).
+    context_parallel: int = 1
     pipe_axis: str = "pipe"
     pipeline_parallel: int = 1  # number of pipeline stages (v1/v2 families)
     # GPipe microbatches per step; bubble fraction = (S-1)/(M+S-1).  Batches

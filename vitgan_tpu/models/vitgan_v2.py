@@ -151,10 +151,17 @@ def _run_blocks(blocks, x, rngs, cfg: V2Config, train, blocks_runner):
     per-block keys or None)."""
     if blocks_runner is not None:
         return blocks_runner(blocks, x, rngs)
+    from vitgan_tpu.ops.policy import sequence_constraint
+
     block = _maybe_remat(lambda p, x, r: _encoder_apply(p, x, cfg, r, train))
     rngs = rngs if rngs is not None else [None] * len(blocks)
+    # Sequence parallelism (mesh.context_parallel): pin the token axis over
+    # the seq mesh axis at stack entry and after every block so GSPMD keeps
+    # LN/MLP token-sharded and inserts the attention K/V all-gathers.  No-op
+    # when SP is off (ops/policy.py).
+    x = sequence_constraint(x)
     for p, r in zip(blocks, rngs):
-        x = block(p, x, r)
+        x = sequence_constraint(block(p, x, r))
     return x
 
 

@@ -868,6 +868,13 @@ def use_pallas_attention(policy: Optional[str] = None, seq_len: int = 0,
     'always'/'never' force.  Measured on v5e (B=8,H=4,D=96): pallas wins at
     N=4096 (~1.2x) and ties/wins at N<=65; XLA wins in between — the 256
     threshold keeps 'auto' conservative for the mid range."""
+    from vitgan_tpu.ops.policy import sequence_parallel_active
+
+    if sequence_parallel_active():
+        # GSPMD cannot partition a pallas_call: under sequence parallelism the
+        # kernel would force a full re-replication of the sharded activations.
+        # XLA attention partitions cleanly from the token-axis constraint.
+        return False
     policy = policy or _POLICY["mode"]
     min_seq_len = min_seq_len if min_seq_len is not None else _POLICY["min_seq_len"]
     if policy == "never":

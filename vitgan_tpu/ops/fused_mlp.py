@@ -173,7 +173,8 @@ def dispatch_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, activation: str = "gel
     XLA otherwise.  The row threshold comes from the process-wide policy
     (``set_policy(min_mlp_rows=...)``), the single source of truth shared
     with the attention kernel routing."""
-    from vitgan_tpu.ops.policy import _POLICY, on_tpu as _on_tpu
+    from vitgan_tpu.ops.policy import (_POLICY, on_tpu as _on_tpu,
+                                       sequence_parallel_active)
 
     rows = 1
     for s in x.shape[:-1]:
@@ -184,6 +185,8 @@ def dispatch_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, activation: str = "gel
     # kernel pays off once the hidden width is MXU-saturating (>=512).
     big_enough = rows >= min_rows and w1.shape[-1] >= 512
     use = mode == "always" or (mode == "auto" and _on_tpu() and big_enough)
+    if sequence_parallel_active():
+        use = False  # GSPMD cannot partition a pallas_call (see policy.py)
     if use:
         return fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, activation,
                             1e-5, residual, 256, not _on_tpu())

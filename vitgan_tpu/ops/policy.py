@@ -51,8 +51,53 @@ def megablock_enabled() -> bool:
     """Route dropout-free v2 encoder blocks through the single-kernel
     megablock (ops/fused_block.py).  Opt-in ('off' by default; A/B verdict
     pending — scripts/bench_megablock.py is the harness).  ``mode='never'``
-    is the global Pallas kill switch and wins over this knob."""
-    return _POLICY["megablock"] == "on" and _POLICY["mode"] != "never"
+    is the global Pallas kill switch and wins over this knob, as does
+    sequence parallelism (GSPMD cannot partition a custom call)."""
+    return (_POLICY["megablock"] == "on" and _POLICY["mode"] != "never"
+            and not sequence_parallel_active())
+
+
+# --- sequence (context) parallelism ----------------------------------------
+# Set by the trainer when mesh.context_parallel > 1: activations' token axis
+# is pinned over the mesh's seq axis and GSPMD inserts the attention K/V
+# all-gathers.  Process-global like the rest of the policy (consulted at
+# trace time inside the model functions, which have no mesh handle).
+
+_SP = {"mesh": None, "data_axis": None, "seq_axis": None}
+
+
+def set_sequence_parallel(mesh=None, data_axis: str | None = None,
+                          seq_axis: str | None = None) -> None:
+    """Enable GSPMD sequence parallelism over ``mesh``'s ``seq_axis`` (token
+    axis of every (B, N, E) encoder activation; batch stays on ``data_axis``).
+    ``set_sequence_parallel(None)`` clears it.  While active, Pallas kernel
+    routing is disabled (GSPMD cannot partition custom calls) — the manual
+    ring schedule in parallel/context_parallel.py is the shard_map
+    alternative when kernel fusion under SP matters."""
+    if mesh is None:
+        _SP["mesh"] = _SP["data_axis"] = _SP["seq_axis"] = None
+        return
+    if seq_axis not in mesh.axis_names:
+        raise ValueError(f"mesh has no axis {seq_axis!r} (axes: {mesh.axis_names})")
+    _SP["mesh"], _SP["data_axis"], _SP["seq_axis"] = mesh, data_axis, seq_axis
+
+
+def sequence_parallel_active() -> bool:
+    return _SP["mesh"] is not None
+
+
+def sequence_constraint(x):
+    """Pin a (B, N, E) activation's token axis over the SP mesh axis.
+
+    No-op when SP is off or ``x`` is not rank-3.  Uneven token counts (the
+    v2 discriminator's N+1 CLS sequence) are fine: GSPMD pads the last shard
+    internally, semantics are exact."""
+    if _SP["mesh"] is None or getattr(x, "ndim", 0) != 3:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(_SP["mesh"], P(_SP["data_axis"], _SP["seq_axis"], None)))
 
 
 def megablock_group() -> int:

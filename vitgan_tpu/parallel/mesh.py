@@ -56,9 +56,20 @@ def make_mesh(
     n = len(devices)
     mp = max(1, cfg.model_parallel)
     pp = max(1, getattr(cfg, "pipeline_parallel", 1))
-    if n % (mp * pp) != 0:
+    sp = max(1, getattr(cfg, "context_parallel", 1))
+    if sp > 1 and pp > 1:
         raise ValueError(
-            f"{n} devices not divisible by model_parallel={mp} x pipeline_parallel={pp}")
+            "context_parallel does not compose with pipeline_parallel: the "
+            "pipeline shard_map owns the block stack the sequence sharding "
+            "would constrain (pick one)")
+    if n % (mp * pp * sp) != 0:
+        raise ValueError(
+            f"{n} devices not divisible by model_parallel={mp} x "
+            f"pipeline_parallel={pp} x context_parallel={sp}")
+    if sp > 1:
+        arr = np.array(devices).reshape(n // (mp * sp), mp, sp)
+        return Mesh(arr, axis_names=(cfg.data_axis, cfg.model_axis,
+                                     getattr(cfg, "seq_axis", "seq")))
     if pp > 1:
         arr = np.array(devices).reshape(n // (mp * pp), mp, pp)
         return Mesh(arr, axis_names=(cfg.data_axis, cfg.model_axis, cfg.pipe_axis))

@@ -54,6 +54,24 @@ class Trainer:
 
         apply_from_runtime(cfg.runtime)
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+        from vitgan_tpu.ops.policy import set_sequence_parallel
+
+        if cfg.mesh.context_parallel > 1:
+            if cfg.family != "v2":
+                # Only the v2 encoder stacks apply the token-axis constraints;
+                # any other family would silently replicate over the seq axis
+                # (half the devices doing duplicate work) while still losing
+                # the Pallas kernel routing — fail loudly instead.
+                raise ValueError(
+                    f"mesh.context_parallel requires family 'v2' (and its "
+                    f"deit64/highres presets), got {cfg.family!r}")
+            # GSPMD sequence parallelism: token-axis constraints inside the
+            # v2 encoder stacks (models/vitgan_v2._run_blocks); the policy is
+            # process-global like the kernel routing it also disables.
+            set_sequence_parallel(self.mesh, cfg.mesh.data_axis,
+                                  cfg.mesh.seq_axis)
+        else:
+            set_sequence_parallel(None)  # don't inherit a prior trainer's SP
         self.dirs = construct_directories(cfg.run_name, base=run_base)
         # Persist the exact experiment config so `generate`/resume tooling can
         # rebuild the same model without re-deriving CLI overrides.
