@@ -400,7 +400,7 @@ def cmd_serve(args) -> int:
         print("no run directory found", file=sys.stderr)
         return 1
     httpd = serve(run_dirs, host=args.host, port=args.port, batch=args.batch,
-                  best=args.best)
+                  best=args.best, quantize=args.quantize)
     print(f"serving {run_dirs} on http://{args.host}:{httpd.server_address[1]} "
           f"(GET /healthz, /metrics, POST /sample)")
     # SIGTERM (spot preemption / orchestrator stop) drains like Ctrl-C:
@@ -674,6 +674,10 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--port", type=int, default=8000)
     v.add_argument("--batch", type=int, default=64, help="fixed device batch per call")
     v.add_argument("--best", action="store_true", help="use the best-FID checkpoint")
+    v.add_argument("--quantize", choices=["int8"], default=None,
+                   help="weight-only int8 serving: 4x less weight upload/HBM "
+                        "traffic, dequantization fused into the jitted sampler "
+                        "(utils/quantize.py; parity bounded by test)")
     v.set_defaults(fn=cmd_serve)
 
     b = sub.add_parser("bench", help="honest train-step throughput for a preset")

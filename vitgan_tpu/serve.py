@@ -119,12 +119,19 @@ class SamplerService:
     concurrent requests share device calls (e.g. 16 concurrent n=4 requests
     cost one generator call, not 16)."""
 
-    def __init__(self, cfg, gan, g_vars, batch: int = 64):
+    def __init__(self, cfg, gan, g_vars, batch: int = 64,
+                 quantize: Optional[str] = None):
         from vitgan_tpu.train import make_serve_sample_fn
+        from vitgan_tpu.utils.quantize import maybe_quantize, quantized_bytes
 
         self.cfg = cfg
         self.gan = gan
-        self.g_vars = g_vars
+        # Weight-only int8 (utils/quantize.py): 4x less upload + 4x less HBM
+        # weight traffic per call; dequantization is fused inside the jitted
+        # sampler.  quantize=None keeps the native float weights.
+        self.g_vars = maybe_quantize(g_vars, quantize)
+        self.quantize = quantize or "none"
+        self.weight_bytes = quantized_bytes(self.g_vars)[0]
         self.batch = batch
         # ONE device dispatch per batch: PRNG, latents, generator forward and
         # the [-1,1]->uint8 quantization all run inside a single jitted call
@@ -158,6 +165,8 @@ class SamplerService:
             "image_size": m.image_size,
             "channels": m.channels,
             "batch": self.batch,
+            "quantize": self.quantize,
+            "weight_bytes": self.weight_bytes,
             "device": str(jax.devices()[0]),
             "requests_served": self._counter,
             "images_served": self._images_served,
@@ -268,13 +277,15 @@ class SamplerService:
         return np.concatenate(out, 0)
 
 
-def load_service(run_dir: str, batch: int = 64, best: bool = False) -> SamplerService:
+def load_service(run_dir: str, batch: int = 64, best: bool = False,
+                 quantize: Optional[str] = None) -> SamplerService:
     """Restore a run's config + checkpoint into a SamplerService (EMA params
     when tracked — the same weights FID/best tracking use)."""
     from vitgan_tpu.utils.run_dirs import restore_run
 
     cfg, gan, state, _meta = restore_run(run_dir, best=best)
-    return SamplerService(cfg, gan, state.g_vars_ema, batch=batch)
+    return SamplerService(cfg, gan, state.g_vars_ema, batch=batch,
+                          quantize=quantize)
 
 
 def _make_handler(services):
@@ -352,7 +363,8 @@ def _make_handler(services):
 
 
 def serve(run_dirs, host: str = "127.0.0.1", port: int = 8000,
-          batch: int = 64, best: bool = False) -> ThreadingHTTPServer:
+          batch: int = 64, best: bool = False,
+          quantize: Optional[str] = None) -> ThreadingHTTPServer:
     """Build the service(s) and return a ready (unstarted) HTTP server; call
     ``serve_forever()`` on it (the CLI does) or drive it from tests.
 
@@ -370,7 +382,7 @@ def serve(run_dirs, host: str = "127.0.0.1", port: int = 8000,
         raise ValueError(f"duplicate model names in --run-dir: {dups} "
                          "(registry keys are run-dir basenames — rename or "
                          "symlink one of the dirs)")
-    services = {name: load_service(d, batch=batch, best=best)
+    services = {name: load_service(d, batch=batch, best=best, quantize=quantize)
                 for name, d in zip(names, run_dirs)}
     httpd = ThreadingHTTPServer((host, port), _make_handler(services))
     # Drain on shutdown: ThreadingHTTPServer defaults to daemon request

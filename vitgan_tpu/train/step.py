@@ -341,11 +341,19 @@ def make_serve_sample_fn(gan: GANBundle, cfg: ExperimentConfig, batch: int):
 
     Reproducibility contract (same as serve.py's seeded requests): batch
     ``call`` of seed ``s`` is always fold_in(PRNGKey(s), call).
+
+    ``g_vars`` may be an int8-quantized tree (utils/quantize.py): the
+    dequantization happens HERE, inside the jit, so XLA keeps int8 in HBM
+    and fuses the scale-multiply into each consuming matmul.  For plain
+    trees ``dequantize_tree`` is the identity.
     """
+    from vitgan_tpu.utils.quantize import dequantize_tree
+
     dtype = _compute_dtype(cfg)
 
     @jax.jit
     def sample_u8(g_vars, seed, call):
+        g_vars = dequantize_tree(g_vars)
         rng = jax.random.fold_in(jax.random.PRNGKey(seed), call)
         z = gan.sample_latent(rng, batch).astype(dtype)
         imgs, _ = gan.generator_apply(g_vars, z)
