@@ -103,6 +103,49 @@ def test_sweep_runner(dev_env):
                   run_base=str(dev_env / "sweeps"))
 
 
+def test_sweep_two_workers_merge_shared_jsonl(dev_env):
+    """The process-level trial parallelism Ray provided (ref:src/v2/
+    training.py:275): two workers run disjoint --trial-offset slices of the
+    SAME seeded sequence against the SAME sweep dir.  Whichever finishes last
+    must leave a best_config.json ranked over BOTH workers' trials — i.e.
+    _finish_sweep re-reads the shared JSONL instead of ranking only its own
+    local results."""
+    from vitgan_tpu import config as C
+    import vitgan_tpu.hpo.sweep as S
+    from vitgan_tpu.hpo.sweep import run_sweep
+
+    base = C.replace(
+        C.smoke_config("v2"),
+        **{"run.checkpoint_every_epochs": 0, "run.sample_grid_every_epochs": 0,
+           "run.fid_num_samples": 16},
+    )
+
+    def tiny_space(rng):
+        lr = float(rng.uniform(1e-5, 1e-4))  # rng-dependent: per-trial params
+        return {"gen_lr": lr, "disc_lr": 1e-4, "embed_dim": 32, "num_heads": 2,
+                "batch_size": 8}
+
+    sweep_dir = str(dev_env / "sweeps_2workers")
+    orig = S.sample_search_space
+    S.sample_search_space = tiny_space
+    try:
+        # worker A (trials 0, 2) then worker B (trial 1) — B finishes last and
+        # must rank A's trials too, not just its own.
+        run_sweep(num_trials=3, epochs_per_trial=1, base_cfg=base, seed=11,
+                  run_base=sweep_dir, trial_offset=0, trial_stride=2)
+        best = run_sweep(num_trials=3, epochs_per_trial=1, base_cfg=base,
+                         seed=11, run_base=sweep_dir, trial_offset=1,
+                         trial_stride=2)
+    finally:
+        S.sample_search_space = orig
+    lines = [json.loads(l) for l in
+             open(sweep_dir + "/sweep_results.jsonl").read().strip().splitlines()]
+    assert sorted(r["trial"] for r in lines) == [0, 1, 2]
+    disk_best = json.load(open(sweep_dir + "/best_config.json"))
+    assert disk_best["trial"] == min(lines, key=lambda r: r["fid"])["trial"]
+    assert best["trial"] == disk_best["trial"]  # last worker ranked globally
+
+
 def test_cli_warmup_populates_compile_cache(dev_env, capsys):
     """`warmup` AOT-compiles without running; a repeat hits the persistent
     cache and must be much faster than the cold compile."""

@@ -565,7 +565,25 @@ def cmd_sweep(args) -> int:
         return _cmd_sweep_inner(args)
 
 
+def _sweep_base_from_args(args):
+    """Base trial config honoring DEV shrink and --set/--dataset (the sweep
+    previously ignored both, so `DEV=1 cli sweep` trained FULL-SIZE trials).
+    The search space itself (ref:src/v2/training.py:277-283) is v2-only, so
+    the family is pinned to v2; per-trial keys override this base."""
+    from vitgan_tpu import config as C
+
+    args.family = "v2"
+    cfg = _build_cfg(args)
+    epochs = args.epochs or 1
+    return C.replace(cfg, **{
+        "run.epochs": epochs, "run.checkpoint_every_epochs": 0,
+        "run.sample_grid_every_epochs": 0,
+        "data.dataset": args.dataset or "synthetic",
+    }), epochs
+
+
 def _cmd_sweep_inner(args) -> int:
+    base, epochs = _sweep_base_from_args(args)
     if args.vectorize:
         from vitgan_tpu.hpo.sweep import run_sweep_vectorized
 
@@ -574,16 +592,18 @@ def _cmd_sweep_inner(args) -> int:
                              "parallelize on-device); drop --trial-stride/"
                              "--trial-offset")
         best = run_sweep_vectorized(num_trials=args.num_trials,
-                                    epochs_per_trial=args.epochs or 1,
+                                    epochs_per_trial=epochs,
                                     seed=args.seed or 0,
                                     dataset=args.dataset or "synthetic",
+                                    base_cfg=base,
                                     resume=args.resume)
         print(json.dumps(best, indent=2, default=str))
         return 0
     from vitgan_tpu.hpo.sweep import run_sweep
 
-    best = run_sweep(num_trials=args.num_trials, epochs_per_trial=args.epochs or 1,
+    best = run_sweep(num_trials=args.num_trials, epochs_per_trial=epochs,
                      seed=args.seed or 0, dataset=args.dataset or "synthetic",
+                     base_cfg=base,
                      trial_offset=args.trial_offset, trial_stride=args.trial_stride,
                      resume=args.resume)
     print(json.dumps(best, indent=2, default=str))

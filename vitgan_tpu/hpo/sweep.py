@@ -77,7 +77,19 @@ def _sweep_paths(run_base):
     return out_dir, os.path.join(out_dir, "sweep_results.jsonl")
 
 
-def _finish_sweep(results, out_dir) -> Dict[str, Any]:
+def _finish_sweep(results, out_dir, log_path: Optional[str] = None) -> Dict[str, Any]:
+    """Rank trials and persist the winner.
+
+    When ``log_path`` is given, re-read the shared JSONL first: concurrent
+    workers (disjoint --trial-offset slices appending to the SAME file — the
+    process-level parallelism Ray provided, ref:src/v2/training.py:275) each
+    see every completed trial, so whichever worker finishes last leaves a
+    globally-correct ``best_config.json``."""
+    if log_path:
+        merged = _load_recorded_trials(log_path)
+        for r in results:  # local trials not yet durable (shouldn't happen)
+            merged.setdefault(int(r["trial"]), r)
+        results = list(merged.values())
     if not results:
         return dict(_EMPTY_BEST)
     best = min(results, key=lambda r: r["fid"] if math.isfinite(r["fid"]) else 1e18)
@@ -159,7 +171,7 @@ def run_sweep(num_trials: int = 10, epochs_per_trial: int = 1, seed: int = 0,
         results.append(rec)
         with open(log_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
-    return _finish_sweep(results, out_dir)
+    return _finish_sweep(results, out_dir, log_path)
 
 
 # ---------------------------------------------------------------------------
@@ -321,4 +333,4 @@ def run_sweep_vectorized(num_trials: int = 10, epochs_per_trial: int = 1,
             with open(log_path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
 
-    return _finish_sweep(results, out_dir)
+    return _finish_sweep(results, out_dir, log_path)
