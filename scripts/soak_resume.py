@@ -1,0 +1,226 @@
+"""Preemption/resume soak: a long v2 training run SIGTERM-killed and resumed
+mid-run, with the loss/FID trajectory verified continuous across the kills.
+
+Exercises, at scale and on the real chip, the crash-safe intent of the
+reference's trainer (ref:src/v2/training.py:248-268 — its `finally` epilogue
+was the only recovery story) through this framework's full stack: SIGTERM
+preemption handling (utils/preemption.py), orbax full-train-state checkpoints
+with keep-N rotation (utils/checkpoint.py), and `train --resume`.
+
+Protocol (VERDICT r2 next-step #6):
+  segment 0: fresh `cli train` run, SIGTERM after --kill-after seconds
+  segment 1: `--resume`, SIGTERM again after --kill-after seconds
+  segment 2: `--resume`, run to natural completion
+Then the run's logs/scalars.jsonl is analyzed:
+  - the global step must never go backwards across segments (an interrupted
+    epoch may legitimately re-run from its last checkpoint boundary),
+  - the post-resume losses must be on the pre-kill trend (no re-init spike:
+    median of the 5 steps after each resume within --loss-band x the median
+    of the 5 steps before the kill),
+  - the checkpoints dir must hold at most keep+1 step checkpoints (rotation).
+Writes SOAK json + a trajectory PNG with the resume points marked.
+
+Usage (chip):
+  SCRATCH=$HOME/.vitgan_tpu python scripts/soak_resume.py \
+      --epochs 120 --kill-after 240 --out SOAK_r03.json
+
+SOAK_SMOKE=1 shrinks everything to a CPU-sized check of the harness itself.
+"""
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SMOKE = os.environ.get("SOAK_SMOKE") == "1"
+
+
+def train_cmd(run_name, epochs, resume, extra_sets):
+    cmd = [sys.executable, "-m", "vitgan_tpu.cli", "train", "--family", "v2",
+           "--dataset", "synthetic", "--epochs", str(epochs),
+           "--run-name", run_name]
+    for kv in extra_sets:
+        cmd += ["--set", kv]
+    if resume:
+        cmd.append("--resume")
+    return cmd
+
+
+def run_segment(idx, cmd, kill_after, log_path):
+    """Launch a training segment; SIGTERM it after kill_after seconds (None =
+    run to completion).  Returns a record of what happened."""
+    env = dict(os.environ)
+    if SMOKE:
+        env["JAX_PLATFORMS"] = "cpu"
+        env["DEV"] = "1"
+    t0 = time.time()
+    with open(log_path, "w") as lf:
+        proc = subprocess.Popen(cmd, cwd=REPO, stdout=lf, stderr=subprocess.STDOUT,
+                                env=env)
+        killed_at = None
+        if kill_after is not None:
+            time.sleep(kill_after)
+            killed_at = time.time() - t0
+            proc.send_signal(signal.SIGTERM)
+        # graceful SIGTERM drain must finish well inside this (preemption.py
+        # stops at the next step-group boundary, then the checkpoint epilogue
+        # runs); a hang here is itself a soak failure.
+        try:
+            rc = proc.wait(timeout=1800)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            rc = -9
+    return {"segment": idx, "cmd": " ".join(cmd[2:]), "rc": rc,
+            "wall_s": round(time.time() - t0, 1),
+            "sigterm_after_s": round(killed_at, 1) if killed_at else None}
+
+
+def load_scalars(run_dir):
+    recs = []
+    path = os.path.join(run_dir, "logs", "scalars.jsonl")
+    with open(path) as f:
+        for line in f:
+            try:
+                recs.append(json.loads(line))
+            except ValueError:
+                continue  # torn tail line from a kill mid-append
+    return recs
+
+
+def analyze(recs, n_segments, loss_band):
+    """Continuity checks over the concatenated per-step loss trajectory."""
+    g = [(r["step"], r["value"]) for r in recs if r["tag"] == "train/g_loss"]
+    d = [(r["step"], r["value"]) for r in recs if r["tag"] == "train/d_loss"]
+    steps = [s for s, _ in g]
+    # Resume boundaries show up as the step sequence stepping BACK (the
+    # interrupted epoch re-runs from the checkpoint) or repeating.
+    boundaries = [i for i in range(1, len(steps)) if steps[i] <= steps[i - 1]]
+    max_rollback = max((steps[i - 1] - steps[i] for i in boundaries), default=0)
+    ok_monotone = all(steps[i] > steps[i - 1] for i in range(1, len(steps))
+                      if i not in boundaries)
+
+    def med(vals):
+        v = sorted(vals)
+        return v[len(v) // 2] if v else float("nan")
+
+    joins = []
+    for i in boundaries:
+        before = med([v for _, v in g[max(0, i - 5):i]])
+        after = med([v for _, v in g[i:i + 5]])
+        joins.append({"step_before": steps[i - 1], "step_after": steps[i],
+                      "g_loss_before": round(before, 4),
+                      "g_loss_after": round(after, 4),
+                      "continuous": bool(abs(after - before)
+                                          <= loss_band * max(abs(before), 1e-3))})
+    return {
+        "logged_steps": len(steps),
+        "final_step": steps[-1] if steps else 0,
+        "resume_joins": joins,
+        "steps_monotone_between_joins": ok_monotone,
+        "max_rollback_steps": max_rollback,
+        "all_joins_continuous": all(j["continuous"] for j in joins),
+        "d_loss_final": round(d[-1][1], 4) if d else None,
+        "g_loss_final": round(g[-1][1], 4) if g else None,
+    }, g, boundaries
+
+
+def plot(g, boundaries, out_png):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    xs = list(range(len(g)))  # log-record index: keeps re-run epochs visible
+    plt.figure(figsize=(10, 4))
+    plt.plot(xs, [v for _, v in g], lw=0.7, label="g_loss")
+    for b in boundaries:
+        plt.axvline(b, color="red", ls="--", lw=1,
+                    label="resume" if b == boundaries[0] else None)
+    plt.xlabel("logged step records (chronological; epoch re-runs inline)")
+    plt.ylabel("generator loss")
+    plt.title("Preemption soak: loss trajectory across SIGTERM kills + resumes")
+    plt.legend()
+    plt.tight_layout()
+    plt.savefig(out_png, dpi=110)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=4 if SMOKE else 120)
+    ap.add_argument("--kill-after", type=float, default=15 if SMOKE else 240,
+                    help="seconds into segments 0/1 to SIGTERM")
+    ap.add_argument("--run-name", default="soak_r03")
+    ap.add_argument("--loss-band", type=float, default=0.5,
+                    help="relative tolerance for the pre-kill vs post-resume "
+                         "median g_loss (GAN losses are noisy)")
+    ap.add_argument("--out", default="SOAK_r03.json")
+    ap.add_argument("--set", dest="sets", action="append", default=None)
+    args = ap.parse_args()
+
+    sets = args.sets or [
+        # long-run shape: many small epochs => fine checkpoint granularity
+        "run.steps_per_epoch=500", "run.checkpoint_every_epochs=1",
+        "run.fid_every_epochs=10", "run.fid_num_samples=256",
+        "run.sample_grid_every_epochs=0", "data.synthetic_samples=32000",
+    ]
+    if SMOKE:
+        sets = ["run.checkpoint_every_epochs=1", "run.fid_every_epochs=0",
+                "run.sample_grid_every_epochs=0"]
+
+    from vitgan_tpu import config as C  # noqa: E402 (repo path, no jax import)
+
+    run_dir = os.path.join(C.scratch_root(), "output", args.run_name)
+    segments = []
+    for idx, kill in enumerate([args.kill_after, args.kill_after, None]):
+        cmd = train_cmd(args.run_name, args.epochs, resume=idx > 0,
+                        extra_sets=sets)
+        log = os.path.join("/tmp", f"soak_seg{idx}.log")
+        print(f"soak: segment {idx} starting "
+              f"({'SIGTERM@%ds' % kill if kill else 'to completion'})",
+              flush=True)
+        seg = run_segment(idx, cmd, kill, log)
+        segments.append(seg)
+        print(f"soak: segment {idx} done: {seg}", flush=True)
+        if seg["rc"] not in (0,):
+            print(f"soak: segment {idx} rc={seg['rc']} (see {log})", flush=True)
+
+    recs = load_scalars(run_dir)
+    summary, g, boundaries = analyze(recs, len(segments), args.loss_band)
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+    kept = sorted(d for d in os.listdir(ckpt_dir)
+                  if d.split("_")[-1].isdigit()) if os.path.isdir(ckpt_dir) else []
+    out = {
+        "what": "SIGTERM preemption soak: kill+resume x2 mid-run, then run to "
+                "completion; trajectory continuity + checkpoint rotation checks",
+        "protocol": "crash-safe intent of ref:src/v2/training.py:248-268",
+        "segments": segments,
+        "analysis": summary,
+        "checkpoints_kept": kept,
+        "rotation_ok": len(kept) <= 4,  # keep=3 (+1 freshly-written transient)
+        "ok": bool(
+            all(s["rc"] == 0 for s in segments)
+            and len(summary["resume_joins"]) >= 2
+            and summary["all_joins_continuous"]
+            and summary["steps_monotone_between_joins"]
+            and len(kept) <= 4
+        ),
+    }
+    png = os.path.splitext(args.out)[0] + "_trajectory.png"
+    try:
+        plot(g, boundaries, png)
+        out["trajectory_png"] = png
+    except Exception as e:  # plotting is evidence, not a gate
+        out["trajectory_png_error"] = str(e)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({k: out[k] for k in ("ok", "analysis", "rotation_ok")},
+                     default=str))
+    return 0 if out["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, REPO)
+    sys.exit(main())

@@ -211,7 +211,10 @@ def test_fused_block_dropout_on_chip():
                                rtol=2e-4, atol=2e-4)
     for m in (m1, m2):
         vals = np.unique(np.asarray(m))
-        assert set(np.round(vals, 4)) <= {0.0, round(1 / 0.9, 4)}
+        # every mask value is 0 or 1/keep (float32-rounded, so isclose not
+        # exact set membership: np.float32(1/0.9) != the Python double)
+        assert all(np.isclose(v, 0.0) or np.isclose(v, 1 / 0.9, rtol=1e-6)
+                   for v in vals), vals
         drop_frac = float((np.asarray(m) == 0).mean())
         assert 0.05 < drop_frac < 0.15, drop_frac
     out2, m1b, _ = run(x, params, seed)

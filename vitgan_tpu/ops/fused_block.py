@@ -103,24 +103,23 @@ def _kernel(*refs, n_real: int, e_real: int, num_heads: int, head_dim: int,
     key_col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
     key_mask = key_col < n_real
 
-    def one_sample(b, _):
+    # Static Python unroll over the (compile-time) group and head counts:
+    # Mosaic has no lowering for dynamic_slice on VALUES inside a fori_loop
+    # (only refs take dynamic indexers), and every slice below is static.
+    for b in range(gb):
         base = b * n_pad
-        s_qkv = jax.lax.dynamic_slice(qkv, (base, 0), (n_pad, qkv.shape[1]))
+        s_qkv = qkv[base:base + n_pad]
         for h in range(num_heads):
-            q = jax.lax.dynamic_slice(s_qkv, (0, h * head_dim), (n_pad, head_dim))
-            k = jax.lax.dynamic_slice(
-                s_qkv, (0, (num_heads + h) * head_dim), (n_pad, head_dim))
-            v = jax.lax.dynamic_slice(
-                s_qkv, (0, (2 * num_heads + h) * head_dim), (n_pad, head_dim))
+            q = s_qkv[:, h * head_dim:(h + 1) * head_dim]
+            k = s_qkv[:, (num_heads + h) * head_dim:(num_heads + h + 1) * head_dim]
+            v = s_qkv[:, (2 * num_heads + h) * head_dim:
+                      (2 * num_heads + h + 1) * head_dim]
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) * inv
             s = jnp.where(key_mask, s, -jnp.inf)
             p = jax.nn.softmax(s, axis=-1)
             o = jnp.dot(p, v, preferred_element_type=jnp.float32)
-            attn_ref[pl.ds(base, n_pad), h * head_dim:(h + 1) * head_dim] = o
-        return 0
-
-    jax.lax.fori_loop(0, gb, one_sample, 0)
+            attn_ref[base:base + n_pad, h * head_dim:(h + 1) * head_dim] = o
 
     proj = jnp.dot(attn_ref[:], wout_ref[:].astype(jnp.float32),
                    preferred_element_type=jnp.float32)
