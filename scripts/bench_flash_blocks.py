@@ -7,7 +7,7 @@ max(block_q, block_k).  With the 512-block default that is n_pad = 1536 —
 blocks give n_pad = 1152 (12%).  This measures fwd and fwd+grad per block
 size at the exact hires128/hires256 attention shapes on the chip.
 
-Usage: python scripts/bench_flash_blocks.py [case=hires128_D] [iters=30]
+Usage: python scripts/bench_flash_blocks.py [case=hires128_D] [iters=30] [blocks=512,384,256,128]
 Cases: hires128_D (32,6,1025,64)  hires128_G (32,6,1024,64)
        hires256_D (32,6,1025,64 @patch8 => same)  deit64_D (64,3,257,64)
 Prints one JSON line per block size.
@@ -40,6 +40,8 @@ CASES = {
 def main():
     case = sys.argv[1] if len(sys.argv) > 1 else "hires128_D"
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    blocks = (tuple(int(x) for x in sys.argv[3].split(","))
+              if len(sys.argv) > 3 else (512, 384, 256, 128))
     b, h, n, d = CASES[case]
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     q = jax.random.normal(k1, (b, h, n, d), jnp.bfloat16)
@@ -50,7 +52,7 @@ def main():
         from vitgan_tpu.ops.attention import _ceil_to
         return _ceil_to(n, block)
 
-    for block in (512, 384, 256, 128):
+    for block in blocks:
         if block > pad_of(block):
             continue
         fwd = jax.jit(functools.partial(

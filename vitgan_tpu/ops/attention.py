@@ -208,6 +208,15 @@ def _flash_forward_dma(qp, kp, vp, b, h, n, n_pad, d_pad, score_mode, inv_scale,
 # K/V VMEM budget above which the forward streams them from HBM instead.
 _KV_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
 
+# Whole-sequence block threshold (tokens, after 128-rounding): below this the
+# default block is the entire padded sequence — the f32 score tile (n_ceil^2,
+# 5.3 MB at 1152) plus q/k/v/out must fit the ~16 MB VMEM alongside the bwd
+# kernel's accumulators.  1152 is validated on v5e for BOTH score modes
+# (scripts/bench_flash_blocks.py, /tmp probes r3); the l2 backward at 1280+
+# failed to compile (VMEM pressure from its extra |k|^2 / distance tiles), so
+# the cap stays at the largest production-validated size.
+_WHOLE_SEQ_MAX = 1152
+
 
 def _pad_qkv(q, k, v, block_q: int, block_k: int):
     b, h, n, d = q.shape
@@ -803,19 +812,35 @@ def flash_attention(q, k, v, score_mode: str = "dot", scale: Optional[float] = N
                     interpret: bool = False):
     """(B, H, N, D) q/k/v -> (B, H, N, D) attention output.
 
-    Block defaults are sequence-adaptive, from the v5e sweep
-    (scripts/tune_attention.py, transfer-free sync_timeit_scalar timing):
-    at 4k tokens 1024-blocks run fwd 3.92 ms vs 5.37 ms for 512-blocks
-    (1.37x); at 1k tokens 512-blocks win and 1024 regresses 2.6x.  Blocks
-    are clamped to the padded sequence for short inputs.
+    Block defaults are sequence-adaptive, from the v5e sweeps
+    (scripts/tune_attention.py, scripts/bench_flash_blocks.py):
+
+    - n_ceil <= _WHOLE_SEQ_MAX: **whole-sequence blocks** (block = the
+      128-rounded sequence).  One q block and one k iteration per (b, h):
+      a single MXU-wide score matmul in VMEM, and the HBM pad shrinks to
+      the 128-lane minimum.  Decisive at the ragged production shapes —
+      hires128_D (N=1025, CLS token breaks 512-divisibility) measured
+      fwd 2537 us / fwd+grad 6040 us at block 1152 vs 3913 / 8707 at the
+      old 512-block default (pad 1536): **1.44x**, and it also beats XLA
+      reference and chunked attention at that shape.  Step-level hires128:
+      49.4 -> 59.0 img/s (1.19x).
+    - above that (scores would outgrow VMEM): 512-blocks, and 1024 at
+      >=4k tokens (4k: 1024-blocks 3.92 ms fwd vs 5.37 ms for 512, 1.37x).
     """
-    n = q.shape[-2]
-    default = 1024 if n >= 4096 else 512
-    block_q = block_q or default
-    block_k = block_k or default
-    n_ceil = _ceil_to(n, 128)
+    block_q, block_k = default_blocks(q.shape[-2], block_q, block_k)
     return _flash_attention_vjp(q, k, v, score_mode, scale,
-                                min(block_q, n_ceil), min(block_k, n_ceil), interpret)
+                                block_q, block_k, interpret)
+
+
+def default_blocks(n: int, block_q: Optional[int] = None,
+                   block_k: Optional[int] = None) -> tuple:
+    """Resolve the (block_q, block_k) actually used for an N-token sequence
+    (the sequence-adaptive policy documented on ``flash_attention``)."""
+    n_ceil = _ceil_to(n, 128)
+    if block_q is None and block_k is None and n_ceil <= _WHOLE_SEQ_MAX:
+        return n_ceil, n_ceil
+    default = 1024 if n >= 4096 else 512
+    return min(block_q or default, n_ceil), min(block_k or default, n_ceil)
 
 
 def _fwd(q, k, v, score_mode, scale, block_q, block_k, interpret):
