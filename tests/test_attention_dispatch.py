@@ -26,6 +26,7 @@ def test_mhsa_pallas_vs_xla(rng, score_mode):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_full_model_forward_with_pallas(rng):
     from vitgan_tpu import config as C
     from vitgan_tpu.models import build_gan

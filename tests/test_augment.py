@@ -68,6 +68,7 @@ def test_augment_differentiable(imgs, rng):
     assert np.isfinite(np.asarray(g)).all()
 
 
+@pytest.mark.slow
 def test_train_step_with_diffaugment(rng):
     from vitgan_tpu import config as C
     from vitgan_tpu.models import build_gan
@@ -115,6 +116,7 @@ def test_remat_forward_matches(rng):
         set_policy(remat=False)
 
 
+@pytest.mark.slow
 def test_remat_gradients_match(rng):
     """'full'/'dots'/'attn' remat change only what's saved for the backward —
     gradients must be identical to the unremated path."""

@@ -22,6 +22,7 @@ def trainer(tmp_path):
     return Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
 
 
+@pytest.mark.slow
 def test_validate(trainer):
     m = trainer.validate(num_batches=2)
     for k in ("val_d_loss_real", "val_d_loss_fake", "val_g_loss", "val_real_acc",
@@ -30,6 +31,7 @@ def test_validate(trainer):
     assert 0.0 <= m["val_real_acc"] <= 1.0
 
 
+@pytest.mark.slow
 def test_profile_trace(trainer):
     trace_dir = trainer.profile(n_steps=2)
     assert os.path.isdir(trace_dir)

@@ -20,12 +20,14 @@ def test_build_preset_cfg_scaling_presets():
         B.build_preset_cfg("nope")
 
 
+@pytest.mark.slow
 def test_measure_scanned_train_smoke():
     cfg = C.smoke_config("mlp")
     ips = B.measure_scanned_train(cfg, scan_steps=2, iters=1, dataset_images=32)
     assert ips > 0
 
 
+@pytest.mark.slow
 def test_warmup_compile_keeps_output_dir_clean(tmp_path, monkeypatch):
     """Regression: warmup built its Trainer under $SCRATCH/output, so every
     warmup left a junk timestamped run dir that latest_run() would resolve."""
@@ -36,6 +38,7 @@ def test_warmup_compile_keeps_output_dir_clean(tmp_path, monkeypatch):
     assert any((tmp_path / "warmup").iterdir())
 
 
+@pytest.mark.slow
 def test_xla_step_gflops_smoke():
     import jax
 

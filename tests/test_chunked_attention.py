@@ -15,6 +15,7 @@ def _qkv(rng, n, d=16):
             jax.random.normal(k3, (1, 2, n, d)))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["dot", "l2"])
 @pytest.mark.parametrize("n", [100, 256, 300])
 def test_chunked_forward_parity(rng, mode, n):
@@ -24,6 +25,7 @@ def test_chunked_forward_parity(rng, mode, n):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_chunked_grad_parity(rng):
     q, k, v = _qkv(rng, 200)
 
@@ -38,6 +40,7 @@ def test_chunked_grad_parity(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6)
 
 
+@pytest.mark.slow
 def test_flash_backward_uses_chunked(rng):
     """flash_attention grads (chunked backward) match reference grads."""
     from vitgan_tpu.ops.attention import flash_attention

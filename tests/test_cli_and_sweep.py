@@ -16,6 +16,7 @@ def dev_env(tmp_path, monkeypatch):
     return tmp_path
 
 
+@pytest.mark.slow
 def test_cli_train_then_generate(dev_env):
     rc = cli.main([
         "train", "--family", "mlp", "--dataset", "synthetic", "--epochs", "1",
@@ -31,6 +32,7 @@ def test_cli_train_then_generate(dev_env):
     assert os.path.getsize(os.path.join(run_dir, "test", "generated_images.png")) > 0
 
 
+@pytest.mark.slow
 def test_cli_generate_nondefault_run(dev_env):
     """Regression (ADVICE r1): generate rebuilt a DEFAULT config instead of the
     run's training config, so any non-default run (e.g. ema_decay>0, whose
@@ -57,6 +59,7 @@ def test_cli_set_override(dev_env):
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_cli_bench(dev_env, capsys):
     rc = cli.main(["bench", "--preset", "mlp", "--scan", "2", "--iters", "1"])
     assert rc == 0
@@ -64,6 +67,7 @@ def test_cli_bench(dev_env, capsys):
     assert rec["value"] > 0 and rec["unit"] == "images/sec"
 
 
+@pytest.mark.slow
 def test_sweep_runner(dev_env):
     from vitgan_tpu import config as C
     from vitgan_tpu.hpo.sweep import run_sweep, sample_search_space
@@ -103,6 +107,7 @@ def test_sweep_runner(dev_env):
                   run_base=str(dev_env / "sweeps"))
 
 
+@pytest.mark.slow
 def test_sweep_two_workers_merge_shared_jsonl(dev_env):
     """The process-level trial parallelism Ray provided (ref:src/v2/
     training.py:275): two workers run disjoint --trial-offset slices of the
@@ -146,6 +151,7 @@ def test_sweep_two_workers_merge_shared_jsonl(dev_env):
     assert best["trial"] == disk_best["trial"]  # last worker ranked globally
 
 
+@pytest.mark.slow
 def test_cli_warmup_populates_compile_cache(dev_env, capsys):
     """`warmup` AOT-compiles without running; a repeat hits the persistent
     cache and must be much faster than the cold compile."""
@@ -183,6 +189,7 @@ def test_cli_doctor(tmp_path, monkeypatch, capsys):
     assert report["torch_interop"]["ok"]
 
 
+@pytest.mark.slow
 def test_sweep_resume_skips_recorded_trials(dev_env):
     """resume=True: trials already in the JSONL are not retrained; the final
     ranking covers old + new; a seed mismatch fails loudly."""

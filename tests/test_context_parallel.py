@@ -97,6 +97,7 @@ def test_ring_matches_gather_cp(cp_mesh, rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=3e-6)
 
 
+@pytest.mark.slow
 def test_ring_grads_match_reference(cp_mesh, rng):
     """Backward through the ring (ppermute transpose + rematerialized blocks)
     agrees with grads of the dense reference."""

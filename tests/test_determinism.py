@@ -8,6 +8,7 @@ import numpy as np
 from vitgan_tpu import config as C
 from vitgan_tpu.models import build_gan
 from vitgan_tpu.train import create_train_state, make_train_step
+import pytest
 
 
 def _run(seed, steps=3):
@@ -23,6 +24,7 @@ def _run(seed, steps=3):
     return losses, state
 
 
+@pytest.mark.slow
 def test_same_seed_same_trajectory():
     l1, s1 = _run(0)
     l2, s2 = _run(0)
@@ -31,6 +33,7 @@ def test_same_seed_same_trajectory():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_different_seed_different_trajectory():
     l1, _ = _run(0, steps=1)
     l2, _ = _run(1, steps=1)

@@ -33,6 +33,7 @@ def test_device_data_matches_host_path(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_scan_unroll_is_semantics_preserving(rng):
     """runtime.scan_unroll may change scheduling, never numerics: the unrolled
     scan must produce the same trajectory as the rolled one."""
@@ -55,6 +56,7 @@ def test_scan_unroll_is_semantics_preserving(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_trainer_on_device_path(tmp_path):
     """Single-device mesh triggers the on-device dataset path, incl. remainder."""
     from vitgan_tpu.parallel import make_mesh
@@ -73,6 +75,7 @@ def test_trainer_on_device_path(tmp_path):
     assert np.isfinite(metrics["d_loss"])
 
 
+@pytest.mark.slow
 def test_trainer_partial_batch_falls_back_to_host_path(tmp_path):
     """Regression: drop_last=False with a real partial batch must use the host
     pipeline (the fixed-shape on-device scan would silently drop it)."""

@@ -29,6 +29,7 @@ def _run(script_args, tmp_path, extra_env=None):
     ("idc.py", ["--epochs", "1", "--set", "run.steps_per_epoch=2",
                 "--set", "run.fid_num_samples=16", "--run-name", "widc"]),
 ])
+@pytest.mark.slow
 def test_wrapper_runs_with_cifar_fallback(tmp_path, script, extra):
     """Wrappers request cifar10; with no data on disk they must fall back to
     synthetic and complete a smoke run."""
@@ -39,6 +40,7 @@ def test_wrapper_runs_with_cifar_fallback(tmp_path, script, extra):
     assert any(d in ("wv2", "widc") for d in run_dirs)
 
 
+@pytest.mark.slow
 def test_generate_wrapper(tmp_path):
     r = _run(["main_v2.py", "--epochs", "1", "--dataset", "synthetic",
               "--set", "run.steps_per_epoch=2", "--set", "run.fid_num_samples=16",

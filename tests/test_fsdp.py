@@ -47,6 +47,7 @@ def test_fsdp_shardings_pick_largest_divisible_dim(data_mesh):
     assert sh["odd"].spec == P(None, "data")       # dim0=3 indivisible by 8
 
 
+@pytest.mark.slow
 def test_fsdp_step_matches_replicated(data_mesh):
     cfg = _cfg()
     gan = build_gan(cfg)
@@ -67,6 +68,7 @@ def test_fsdp_step_matches_replicated(data_mesh):
                                    rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fsdp_placement_survives_the_step(data_mesh):
     """The updated state must keep the FSDP shardings — otherwise step 2
     onward trains on silently re-replicated params."""
@@ -84,6 +86,7 @@ def test_fsdp_placement_survives_the_step(data_mesh):
             (leaf.sharding, w)
 
 
+@pytest.mark.slow
 def test_fsdp_composes_with_tp():
     """TP claims the head/width axes; FSDP takes the largest free dim of the
     same leaf — and the composed step still matches replicated numerics."""
@@ -109,6 +112,7 @@ def test_fsdp_composes_with_tp():
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_trainer_fsdp_with_pipeline(tmp_path):
     """mesh.fsdp + mesh.pipeline_parallel compose: the data axis goes AUTO in
     the pipeline shard_map so block params keep their ZeRO sharding inside
@@ -136,6 +140,7 @@ def test_trainer_fsdp_with_pipeline(tmp_path):
     assert any("data" in (s or ()) for s in specs)
 
 
+@pytest.mark.slow
 def test_trainer_fsdp_tp_pp_triple(tmp_path):
     """The full composition on one 2x2x2 mesh: ZeRO over data + TP over model
     (both AUTO inside the pipeline stages) + GPipe over pipe (manual)."""
@@ -162,6 +167,7 @@ def test_trainer_fsdp_tp_pp_triple(tmp_path):
     assert np.isfinite(metrics["d_loss"]) and np.isfinite(metrics["fid"])
 
 
+@pytest.mark.slow
 def test_trainer_fsdp(tmp_path):
     """mesh.fsdp=true through the whole trainer surface (fit + FID + ckpt)."""
     from vitgan_tpu.train.trainer import Trainer

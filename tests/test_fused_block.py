@@ -15,6 +15,7 @@ from vitgan_tpu.ops.fused_block import fused_encoder_block
     dict(b=4, image_size=16, patch=4, embed=32, heads=2),     # padded E lane
     dict(b=5, image_size=32, patch=4, embed=128, heads=4),    # v2 flagship shape (65 tokens w/ cls -> here 64)
 ])
+@pytest.mark.slow
 def test_fused_block_matches_encoder(rng, shape):
     cfg = V2Config(image_size=shape["image_size"], patch_size=shape["patch"],
                    embed_dim=shape["embed"], num_heads=shape["heads"],
@@ -30,6 +31,7 @@ def test_fused_block_matches_encoder(rng, shape):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_block_grads_match(rng):
     """custom_vjp (recompute backward) == AD through the XLA composition."""
     from vitgan_tpu.ops.fused_block import encoder_block_fused

@@ -20,6 +20,7 @@ def _params(rng, d=96, h=192):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("activation", ["gelu", "relu"])
 @pytest.mark.parametrize("residual", [True, False])
 def test_fused_matches_reference(rng, activation, residual):
@@ -32,6 +33,7 @@ def test_fused_matches_reference(rng, activation, residual):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_gradients(rng):
     p = _params(rng, d=32, h=64)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 10, 32))

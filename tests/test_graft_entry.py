@@ -6,10 +6,12 @@ import sys
 
 import jax
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+@pytest.mark.slow
 def test_entry_jittable():
     import __graft_entry__ as ge
 
@@ -20,12 +22,14 @@ def test_entry_jittable():
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_odd():
     """Odd device counts fall back to pure DP."""
     import __graft_entry__ as ge

@@ -84,6 +84,7 @@ def test_torch_parity_random_weights():
     assert err <= 1e-3 * max(scale, 1.0), f"parity err {err} (scale {scale})"
 
 
+@pytest.mark.slow
 def test_extractor_plugs_into_fid(tmp_path, monkeypatch):
     from vitgan_tpu.train import fid as FID
 

@@ -161,6 +161,7 @@ def test_mhsa_spectral_integration(rng):
     assert not np.array_equal(np.asarray(s2["isr"]["u"]), np.asarray(s["isr"]["u"]))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["dot", "l2", "l2ref"])
 def test_head_padding_is_exact(rng, mode):
     """Zero-padding head_dim to the 128 lane tile must not change outputs:

@@ -63,6 +63,7 @@ def test_grad_accum_sgd_semantics():
     np.testing.assert_allclose(outs[2], -3.0, rtol=1e-6)  # mean(1,2,6) * lr 1
 
 
+@pytest.mark.slow
 def test_train_step_grad_accum_freezes_then_applies():
     """v2 step with grad_accum=2: params frozen after the first call, updated
     after the second — and checkpointable mid-accumulation (the accumulator
@@ -91,6 +92,7 @@ def test_train_step_grad_accum_freezes_then_applies():
     assert moved
 
 
+@pytest.mark.slow
 def test_train_step_with_schedule_runs():
     """Full v2 train step with warmup-cosine on both optimizers."""
     from vitgan_tpu.models import build_gan
@@ -121,6 +123,7 @@ def test_train_step_with_schedule_runs():
     assert moved
     assert np.isfinite(float(m2["g_loss"]))
 
+@pytest.mark.slow
 def test_grad_accum_ema_gated_on_effective_updates():
     """EMA must not decay on frozen-param accumulation calls — its horizon
     tracks EFFECTIVE updates, matching the large-batch baseline."""

@@ -142,6 +142,7 @@ def dev_env(tmp_path, monkeypatch):
     return tmp_path
 
 
+@pytest.mark.slow
 def test_cli_eval_end_to_end(dev_env, capsys):
     from vitgan_tpu import cli
 

@@ -8,6 +8,7 @@ import numpy as np
 
 from vitgan_tpu import config as C
 from vitgan_tpu.data.datasets import load_mnist
+import pytest
 
 
 def _write_idx(tmp_path, n=10, gzipped=True):
@@ -41,6 +42,7 @@ def test_load_mnist_plain(tmp_path):
     assert x.shape == (10, 32, 32, 3)
 
 
+@pytest.mark.slow
 def test_float32_compute_path(rng):
     from vitgan_tpu.models import build_gan
     from vitgan_tpu.train import create_train_state, make_train_step

@@ -18,6 +18,7 @@ def smoke(family):
     return C.smoke_config(family)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("family", FAMILIES)
 def test_gan_forward_shapes(family, rng):
     cfg = smoke(family)
@@ -34,6 +35,7 @@ def test_gan_forward_shapes(family, rng):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("family", FAMILIES)
 def test_gan_jit_and_determinism(family, rng):
     cfg = smoke(family)
@@ -47,6 +49,7 @@ def test_gan_jit_and_determinism(family, rng):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("family", FAMILIES)
 def test_train_mode_with_dropout_runs(family, rng):
     cfg = smoke(family)
@@ -111,6 +114,7 @@ def test_v1_discriminator_spectral_state(rng):
     assert not np.array_equal(u0, u1)
 
 
+@pytest.mark.slow
 def test_v2_default_token_count(rng):
     """Full-size v2: (32/4)^2 = 64 patches + CLS = 65 tokens (ref:src/v2/modules.py:74)."""
     from vitgan_tpu.models.vitgan_v2 import vit_init, vit_encode

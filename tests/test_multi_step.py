@@ -11,6 +11,7 @@ from vitgan_tpu.train import create_train_state, make_train_step
 from vitgan_tpu.train.step import make_multi_train_step
 
 
+@pytest.mark.slow
 def test_multi_step_matches_sequential(rng):
     cfg = C.smoke_config("mlp")
     gan = build_gan(cfg)
@@ -34,6 +35,7 @@ def test_multi_step_matches_sequential(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_trainer_with_steps_per_call(tmp_path, rng):
     from vitgan_tpu.train.trainer import Trainer
 
@@ -49,6 +51,7 @@ def test_trainer_with_steps_per_call(tmp_path, rng):
     assert np.isfinite(metrics["d_loss"])
 
 
+@pytest.mark.slow
 def test_early_stopping(tmp_path, rng):
     from vitgan_tpu.train.trainer import Trainer
 

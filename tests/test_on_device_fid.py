@@ -23,6 +23,7 @@ class _FakeBundle:
         return self.fixed[: z.shape[0]], {}
 
 
+@pytest.mark.slow
 def test_on_device_fid_matches_host_math(rng):
     cfg = C.smoke_config("mlp")
     b, n_batches, dim = 8, 2, 64

@@ -41,6 +41,7 @@ def _sequential(blocks, x):
     return x
 
 
+@pytest.mark.slow
 def test_forward_matches_sequential(pipe_mesh, rng):
     k1, k2 = jax.random.split(rng)
     blocks = _toy_blocks(k1)
@@ -64,6 +65,7 @@ def test_single_stage_degenerates(rng):
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_gradients_match_sequential(pipe_mesh, rng):
     """AD through ppermute/masked collection IS the reverse pipeline — grads
     wrt both the block params and the input must equal the sequential ones."""
@@ -148,6 +150,7 @@ def _pp_cfg():
                              "runtime.donate_state": False})
 
 
+@pytest.mark.slow
 def test_v2_generator_pp_matches(pipe_mesh, rng):
     from vitgan_tpu.models import build_gan
     from vitgan_tpu.parallel.pipeline import make_pp_block_runner
@@ -180,6 +183,7 @@ def _v1_pp_cfg():
                              "runtime.donate_state": False})
 
 
+@pytest.mark.slow
 def test_v1_generator_pp_matches(pipe_mesh, rng):
     """The (h, w) pytree carry: v1 SLN blocks pipelined match the loop."""
     from vitgan_tpu.models import build_gan
@@ -200,6 +204,7 @@ def test_v1_generator_pp_matches(pipe_mesh, rng):
     assert new_state["blocks"] == g_vars["state"]["blocks"]  # state-free pass-through
 
 
+@pytest.mark.slow
 def test_v1_discriminator_pp_matches(pipe_mesh, rng):
     """The ISR/L2 discriminator stack pipelines: logits match, and the
     stacked out-of-ring ISR refresh equals the sequential in-loop one."""
@@ -227,6 +232,7 @@ def test_v1_discriminator_pp_matches(pipe_mesh, rng):
                                    rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_v1_pp_train_step_matches_sequential(pipe_mesh, rng):
     """v1 pp_bundle pipelines BOTH stacks (G SLN, D ISR/L2); one alternating
     update must reproduce the sequential losses and the ISR state."""
@@ -252,6 +258,7 @@ def test_v1_pp_train_step_matches_sequential(pipe_mesh, rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_trainer_pipeline_parallel(tmp_path):
     """mesh.pipeline_parallel=4 stages the v2 stacks through the trainer's
     whole surface: fit (dropout on, DP x PP mesh), eval grids, FID — odd
@@ -350,6 +357,7 @@ def test_pp_tp_forward_and_grad_match(rng):
         jax.tree.map(lambda a: a.sharding.spec, g_pp["w"]))[0]
 
 
+@pytest.mark.slow
 def test_pp_tp_train_step_matches_sequential(rng):
     """One full alternating G/D update with the stacks pipelined AND the
     attention/MLP width TP-sharded inside each stage gives the same losses
@@ -436,6 +444,7 @@ def test_pp_tp_bf16_on_cpu_fails_loud(rng):
                         block_fn=_toy_block_fn, tp_axis="model")
 
 
+@pytest.mark.slow
 def test_v1_pp_tp_train_step_matches_sequential(rng):
     """v1 family under PP x TP: both stacks pipelined with the per-head
     qkv/ISR leaves TP-sharded inside each stage (parallel/sharding.py rules
@@ -468,6 +477,7 @@ def test_v1_pp_tp_train_step_matches_sequential(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_trainer_pp_tp(tmp_path):
     """mesh.pipeline_parallel=2 x model_parallel=2 through the whole trainer
     surface (DP x TP x PP on 8 devices)."""
@@ -507,6 +517,7 @@ def test_pp_bundle_rejects_unsupported_family(pipe_mesh):
         pp_bundle(build_gan(cfg), cfg, mesh=pipe_mesh, microbatches=2)
 
 
+@pytest.mark.slow
 def test_pp_train_step_matches_sequential(pipe_mesh, rng):
     """One full alternating G/D update with the block stacks pipelined gives
     the same losses as the single-device step (dropout off, f32)."""

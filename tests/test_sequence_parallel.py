@@ -102,6 +102,7 @@ def test_sp_disables_pallas_routing(sp_guard):
     assert use_pallas_attention(policy="always", seq_len=4096)
 
 
+@pytest.mark.slow
 def test_sp_train_step_matches_single_device(sp_guard):
     """Full v2 G+D train step under data=2 x seq=4 == unsharded step."""
     cfg = _f32_smoke()
@@ -130,6 +131,7 @@ def test_sp_train_step_matches_single_device(sp_guard):
     assert int(new_state.step) == 1
 
 
+@pytest.mark.slow
 def test_sp_composes_with_tp(sp_guard):
     """data=2 x model=2 x seq=2: TP shards heads/MLP width, SP shards tokens;
     losses must still match the unsharded step."""
@@ -167,6 +169,7 @@ def test_trainer_rejects_sp_for_non_v2(sp_guard, tmp_path):
         Trainer(cfg, run_base=str(tmp_path))
 
 
+@pytest.mark.slow
 def test_trainer_fit_under_sp(sp_guard, tmp_path):
     """End-to-end wiring: Trainer builds the seq mesh from the config, sets
     the policy, trains, and a fresh SP-off trainer clears the policy."""

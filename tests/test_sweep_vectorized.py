@@ -69,6 +69,7 @@ def _tiny_trials(monkeypatch, lrs):
     monkeypatch.setattr(SW, "sample_search_space", fake_sample)
 
 
+@pytest.mark.slow
 def test_vectorized_sweep_end_to_end(tmp_path, monkeypatch):
     _tiny_trials(monkeypatch, [1e-4, 1e-3])
     base = C.replace(
@@ -110,6 +111,7 @@ def test_vectorized_identical_trials_differ_only_by_prng(tmp_path, monkeypatch):
     assert lines[0]["fid"] != lines[1]["fid"]
 
 
+@pytest.mark.slow
 def test_vectorized_matches_sequential_single_trial(tmp_path, monkeypatch):
     """A 1-trial vectorized group must equal the same trial trained WITHOUT
     vmap (same gan, same init key, same data order): the trial axis is pure

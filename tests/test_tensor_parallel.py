@@ -38,6 +38,7 @@ def test_tp_rule_indivisible_falls_back_replicated(tp_mesh, rng):
     assert sh["qkv"].spec == P()
 
 
+@pytest.mark.slow
 def test_tp_train_step_matches_replicated(tp_mesh, rng):
     cfg = C.smoke_config("v2")
     gan = build_gan(cfg)
@@ -58,6 +59,7 @@ def test_tp_train_step_matches_replicated(tp_mesh, rng):
     np.testing.assert_allclose(float(m_repl["g_loss"]), float(m_tp["g_loss"]), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_tp_v1_with_isr_state(tp_mesh, rng):
     cfg = C.smoke_config("v1")
     gan = build_gan(cfg)

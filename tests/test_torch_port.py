@@ -409,6 +409,7 @@ def test_serve_loads_imported_run(tmp_path, monkeypatch):
     assert imgs.shape == (2, 32, 32, 3) and np.isfinite(np.asarray(imgs)).all()
 
 
+@pytest.mark.slow
 def test_finetune_from_imported_run(tmp_path, monkeypatch):
     """train --resume on an import-torch run dir fine-tunes the imported
     weights (restores step 0, then trains)."""
@@ -431,6 +432,7 @@ def test_finetune_from_imported_run(tmp_path, monkeypatch):
                and not c.endswith(".json") for c in ckpts)
 
 
+@pytest.mark.slow
 def test_cli_export_torch_roundtrip(tmp_path, monkeypatch):
     """cli export-torch writes a .pth that import_checkpoint reads back with
     the exact same values the run dir holds."""

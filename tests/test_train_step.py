@@ -73,6 +73,7 @@ def test_accuracy_from_logits():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("family", ["v1", "v2", "dcgan", "cnn", "mlp"])
 def test_one_train_step(family, rng):
     cfg = C.smoke_config(family)
@@ -105,6 +106,7 @@ def test_training_reduces_losses(rng):
     assert float(metrics["d_loss"]) < first
 
 
+@pytest.mark.slow
 def test_wgan_gp_step(rng):
     cfg = C.smoke_config("v2")
     cfg = C.replace(cfg, **{"v2.loss": "wgan-gp"})
@@ -124,6 +126,7 @@ def test_r1_penalty_closed_form(rng):
     np.testing.assert_allclose(float(r1), float(jnp.sum(a * a)), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_r1_step_changes_d_update_and_stays_finite(rng):
     cfg = C.smoke_config("v2")
     real = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3)) * 2 - 1
@@ -141,6 +144,7 @@ def test_r1_step_changes_d_update_and_stays_finite(rng):
     assert not np.allclose(np.asarray(base), np.asarray(reg))
 
 
+@pytest.mark.slow
 def test_lazy_r1_applies_only_on_interval_steps(rng):
     """r1_interval=k: step 0 (0 % k == 0) is penalized, step 1 computes the
     plain BCE update (same math as r1_gamma=0; compared with a tight
@@ -169,6 +173,7 @@ def test_lazy_r1_applies_only_on_interval_steps(rng):
                                rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_step_data_parallel_matches_single_device(rng, mesh8):
     """Same step, batch sharded over 8 devices vs unsharded: identical result."""
     cfg = C.smoke_config("mlp")
@@ -202,6 +207,7 @@ def test_sample_fn(rng):
     np.testing.assert_array_equal(np.asarray(imgs), np.asarray(sample(state.g_vars, z)))
 
 
+@pytest.mark.slow
 def test_isr_state_advances_each_step(rng):
     cfg = C.smoke_config("v1")
     gan = build_gan(cfg)

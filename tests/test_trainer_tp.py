@@ -8,8 +8,10 @@ from vitgan_tpu import config as C
 from vitgan_tpu.config import MeshConfig
 from vitgan_tpu.parallel import make_mesh
 from vitgan_tpu.train.trainer import Trainer
+import pytest
 
 
+@pytest.mark.slow
 def test_trainer_tensor_parallel(tmp_path):
     cfg = C.replace(
         C.smoke_config("v2"),
