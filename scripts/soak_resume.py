@@ -8,21 +8,29 @@ preemption handling (utils/preemption.py), orbax full-train-state checkpoints
 with keep-N rotation (utils/checkpoint.py), and `train --resume`.
 
 Protocol (VERDICT r2 next-step #6):
-  segment 0: fresh `cli train` run, SIGTERM after --kill-after seconds
-  segment 1: `--resume`, SIGTERM again after --kill-after seconds
+  segment 0: fresh `cli train` run, SIGTERM after --kill-after-epochs NEW
+             epoch records appear in logs/scalars.jsonl (progress-gated, not
+             wall-clock: a kill during import/compile would hit the default
+             SIGTERM disposition before the graceful handler exists and
+             before any checkpoint — that tests nothing)
+  segment 1: `--resume`, SIGTERM again after --kill-after-epochs more
   segment 2: `--resume`, run to natural completion
 Then the run's logs/scalars.jsonl is analyzed:
-  - the global step must never go backwards across segments (an interrupted
-    epoch may legitimately re-run from its last checkpoint boundary),
+  - the global step must be strictly increasing across the whole trajectory
+    (resume restores the preemption-point state — including partial-epoch
+    optimizer steps — so even the re-run of an interrupted epoch lands at a
+    HIGHER step than any record before the kill; a step going backwards means
+    a stale checkpoint was restored),
   - the post-resume losses must be on the pre-kill trend (no re-init spike:
-    median of the 5 steps after each resume within --loss-band x the median
-    of the 5 steps before the kill),
+    median of the 5 epoch records after each resume within --loss-band x the
+    median of the 5 before the kill) — resume boundaries are taken from the
+    harness's own epoch-record counts at each segment end,
   - the checkpoints dir must hold at most keep+1 step checkpoints (rotation).
 Writes SOAK json + a trajectory PNG with the resume points marked.
 
 Usage (chip):
   SCRATCH=$HOME/.vitgan_tpu python scripts/soak_resume.py \
-      --epochs 120 --kill-after 240 --out SOAK_r03.json
+      --epochs 120 --kill-after-epochs 35 --out SOAK_r03.json
 
 SOAK_SMOKE=1 shrinks everything to a CPU-sized check of the harness itself.
 """
@@ -50,22 +58,52 @@ def train_cmd(run_name, epochs, resume, extra_sets):
     return cmd
 
 
-def run_segment(idx, cmd, kill_after, log_path):
-    """Launch a training segment; SIGTERM it after kill_after seconds (None =
-    run to completion).  Returns a record of what happened."""
+def epoch_records(run_dir):
+    """Completed-epoch count: train/g_loss records in the run's scalars.jsonl
+    (the trainer writes one per finished epoch; a preempted partial epoch
+    writes none)."""
+    path = os.path.join(run_dir, "logs", "scalars.jsonl")
+    n = 0
+    try:
+        with open(path) as f:
+            for line in f:
+                if '"train/g_loss"' in line:
+                    n += 1
+    except OSError:
+        pass
+    return n
+
+
+def run_segment(idx, cmd, kill_after_epochs, run_dir, log_path,
+                progress_timeout):
+    """Launch a training segment; SIGTERM it once kill_after_epochs NEW epoch
+    records have appeared (None = run to completion).  Progress-gated so the
+    kill always lands while the graceful handler is installed and at least
+    one rotating checkpoint exists (checkpoint_every_epochs=1)."""
     env = dict(os.environ)
     if SMOKE:
         env["JAX_PLATFORMS"] = "cpu"
         env["DEV"] = "1"
+    base = epoch_records(run_dir)
     t0 = time.time()
+    killed_at = None
+    timed_out_waiting = False
     with open(log_path, "w") as lf:
         proc = subprocess.Popen(cmd, cwd=REPO, stdout=lf, stderr=subprocess.STDOUT,
                                 env=env)
-        killed_at = None
-        if kill_after is not None:
-            time.sleep(kill_after)
-            killed_at = time.time() - t0
-            proc.send_signal(signal.SIGTERM)
+        if kill_after_epochs is not None:
+            while proc.poll() is None:
+                if epoch_records(run_dir) - base >= kill_after_epochs:
+                    killed_at = time.time() - t0
+                    proc.send_signal(signal.SIGTERM)
+                    break
+                if time.time() - t0 > progress_timeout:
+                    # no epoch finished in budget: a soak failure in itself
+                    timed_out_waiting = True
+                    killed_at = time.time() - t0
+                    proc.send_signal(signal.SIGTERM)
+                    break
+                time.sleep(1 if SMOKE else 5)
         # graceful SIGTERM drain must finish well inside this (preemption.py
         # stops at the next step-group boundary, then the checkpoint epilogue
         # runs); a hang here is itself a soak failure.
@@ -76,7 +114,9 @@ def run_segment(idx, cmd, kill_after, log_path):
             rc = -9
     return {"segment": idx, "cmd": " ".join(cmd[2:]), "rc": rc,
             "wall_s": round(time.time() - t0, 1),
-            "sigterm_after_s": round(killed_at, 1) if killed_at else None}
+            "epochs_at_start": base,
+            "sigterm_after_s": round(killed_at, 1) if killed_at else None,
+            "progress_timeout": timed_out_waiting}
 
 
 def load_scalars(run_dir):
@@ -91,17 +131,19 @@ def load_scalars(run_dir):
     return recs
 
 
-def analyze(recs, n_segments, loss_band):
-    """Continuity checks over the concatenated per-step loss trajectory."""
+def analyze(recs, boundaries, loss_band):
+    """Continuity checks over the concatenated per-epoch loss trajectory.
+    `boundaries` are record indices where a resumed segment's first epoch
+    landed (from the harness's own counts — the step sequence itself stays
+    strictly monotone across a correct resume, see module docstring)."""
     g = [(r["step"], r["value"]) for r in recs if r["tag"] == "train/g_loss"]
     d = [(r["step"], r["value"]) for r in recs if r["tag"] == "train/d_loss"]
     steps = [s for s, _ in g]
-    # Resume boundaries show up as the step sequence stepping BACK (the
-    # interrupted epoch re-runs from the checkpoint) or repeating.
-    boundaries = [i for i in range(1, len(steps)) if steps[i] <= steps[i - 1]]
-    max_rollback = max((steps[i - 1] - steps[i] for i in boundaries), default=0)
-    ok_monotone = all(steps[i] > steps[i - 1] for i in range(1, len(steps))
-                      if i not in boundaries)
+    boundaries = [b for b in boundaries if 0 < b < len(g)]
+    rollbacks = [steps[i - 1] - steps[i] for i in range(1, len(steps))
+                 if steps[i] <= steps[i - 1]]
+    max_rollback = max(rollbacks, default=0)
+    ok_monotone = not rollbacks
 
     def med(vals):
         v = sorted(vals)
@@ -117,10 +159,10 @@ def analyze(recs, n_segments, loss_band):
                       "continuous": bool(abs(after - before)
                                           <= loss_band * max(abs(before), 1e-3))})
     return {
-        "logged_steps": len(steps),
+        "logged_epochs": len(steps),
         "final_step": steps[-1] if steps else 0,
         "resume_joins": joins,
-        "steps_monotone_between_joins": ok_monotone,
+        "steps_strictly_monotone": ok_monotone,
         "max_rollback_steps": max_rollback,
         "all_joins_continuous": all(j["continuous"] for j in joins),
         "d_loss_final": round(d[-1][1], 4) if d else None,
@@ -139,7 +181,7 @@ def plot(g, boundaries, out_png):
     for b in boundaries:
         plt.axvline(b, color="red", ls="--", lw=1,
                     label="resume" if b == boundaries[0] else None)
-    plt.xlabel("logged step records (chronological; epoch re-runs inline)")
+    plt.xlabel("logged epoch records (chronological; epoch re-runs inline)")
     plt.ylabel("generator loss")
     plt.title("Preemption soak: loss trajectory across SIGTERM kills + resumes")
     plt.legend()
@@ -149,9 +191,16 @@ def plot(g, boundaries, out_png):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=4 if SMOKE else 120)
-    ap.add_argument("--kill-after", type=float, default=15 if SMOKE else 240,
-                    help="seconds into segments 0/1 to SIGTERM")
+    # Kills overshoot by ~1 epoch (the in-flight scanned epoch completes
+    # after the gate fires), so total epochs must clear 2*(kill+overshoot).
+    ap.add_argument("--epochs", type=int, default=8 if SMOKE else 120)
+    ap.add_argument("--kill-after-epochs", type=int, default=1 if SMOKE else 35,
+                    help="SIGTERM segments 0/1 after this many NEW completed "
+                         "epochs appear in scalars.jsonl")
+    ap.add_argument("--progress-timeout", type=float,
+                    default=300 if SMOKE else 2400,
+                    help="max seconds to wait for the kill gate (covers cold "
+                         "XLA compiles); exceeding it fails the soak")
     ap.add_argument("--run-name", default="soak_r03")
     ap.add_argument("--loss-band", type=float, default=0.5,
                     help="relative tolerance for the pre-kill vs post-resume "
@@ -174,21 +223,25 @@ def main():
 
     run_dir = os.path.join(C.scratch_root(), "output", args.run_name)
     segments = []
-    for idx, kill in enumerate([args.kill_after, args.kill_after, None]):
+    kills = [args.kill_after_epochs, args.kill_after_epochs, None]
+    for idx, kill in enumerate(kills):
         cmd = train_cmd(args.run_name, args.epochs, resume=idx > 0,
                         extra_sets=sets)
         log = os.path.join("/tmp", f"soak_seg{idx}.log")
         print(f"soak: segment {idx} starting "
-              f"({'SIGTERM@%ds' % kill if kill else 'to completion'})",
+              f"({'SIGTERM after %d new epochs' % kill if kill else 'to completion'})",
               flush=True)
-        seg = run_segment(idx, cmd, kill, log)
+        seg = run_segment(idx, cmd, kill, run_dir, log, args.progress_timeout)
+        seg["epochs_at_end"] = epoch_records(run_dir)
         segments.append(seg)
         print(f"soak: segment {idx} done: {seg}", flush=True)
         if seg["rc"] not in (0,):
             print(f"soak: segment {idx} rc={seg['rc']} (see {log})", flush=True)
 
     recs = load_scalars(run_dir)
-    summary, g, boundaries = analyze(recs, len(segments), args.loss_band)
+    # A resumed segment's first record lands at the previous segment's count.
+    resume_boundaries = [s["epochs_at_end"] for s in segments[:-1]]
+    summary, g, boundaries = analyze(recs, resume_boundaries, args.loss_band)
     ckpt_dir = os.path.join(run_dir, "checkpoints")
     kept = sorted(d for d in os.listdir(ckpt_dir)
                   if d.split("_")[-1].isdigit()) if os.path.isdir(ckpt_dir) else []
@@ -202,9 +255,10 @@ def main():
         "rotation_ok": len(kept) <= 4,  # keep=3 (+1 freshly-written transient)
         "ok": bool(
             all(s["rc"] == 0 for s in segments)
+            and not any(s["progress_timeout"] for s in segments)
             and len(summary["resume_joins"]) >= 2
             and summary["all_joins_continuous"]
-            and summary["steps_monotone_between_joins"]
+            and summary["steps_strictly_monotone"]
             and len(kept) <= 4
         ),
     }
