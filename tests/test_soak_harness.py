@@ -1,0 +1,82 @@
+"""soak_resume.py analyzer: trajectory-continuity logic (VERDICT r2 #6).
+
+The chip soak (SOAK_r03.json) exercises the real kill+resume path; these
+tests pin the pure analysis functions — resume-join continuity, strict step
+monotonicity (a rollback means a stale checkpoint was restored), and the
+harness-known boundary filtering — on synthetic trajectories.
+"""
+
+import importlib.util
+import os
+
+import pytest
+
+_SOAK = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "soak_resume.py")
+
+
+@pytest.fixture(scope="module")
+def soak():
+    spec = importlib.util.spec_from_file_location("soak_resume", _SOAK)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _recs(gs):
+    """Per-epoch records: g_loss from the list, a constant d_loss rider."""
+    out = []
+    for step, v in gs:
+        out.append({"tag": "train/g_loss", "step": step, "value": v})
+        out.append({"tag": "train/d_loss", "step": step, "value": 1.0})
+    return out
+
+
+def test_continuous_resume_joins(soak):
+    # two segments killed mid-run: steps keep rising, losses stay on trend
+    g = [(100 * (i + 1), 0.7 + 0.001 * i) for i in range(12)]
+    summary, _, bounds = soak.analyze(_recs(g), [4, 8], loss_band=0.5)
+    assert bounds == [4, 8]
+    assert len(summary["resume_joins"]) == 2
+    assert summary["all_joins_continuous"]
+    assert summary["steps_strictly_monotone"]
+    assert summary["max_rollback_steps"] == 0
+    assert summary["logged_epochs"] == 12 and summary["final_step"] == 1200
+
+
+def test_reinit_spike_flagged(soak):
+    # resume that lost the optimizer state: post-resume loss jumps 4x
+    g = [(100, 0.7), (200, 0.7), (300, 0.7), (400, 2.9), (500, 2.8), (600, 2.7)]
+    summary, _, _ = soak.analyze(_recs(g), [3], loss_band=0.5)
+    assert len(summary["resume_joins"]) == 1
+    assert not summary["all_joins_continuous"]
+
+
+def test_step_rollback_detected(soak):
+    # stale checkpoint restored: the step sequence goes backwards at the join
+    g = [(100, 0.7), (200, 0.7), (300, 0.7), (150, 0.7), (250, 0.7)]
+    summary, _, _ = soak.analyze(_recs(g), [3], loss_band=0.5)
+    assert not summary["steps_strictly_monotone"]
+    assert summary["max_rollback_steps"] == 150
+
+
+def test_boundary_filtering(soak):
+    # boundaries at 0 (nothing before) or >= len (segment added no epochs,
+    # e.g. the run completed during an earlier segment's drain) are dropped
+    g = [(100, 0.7), (200, 0.7), (300, 0.7)]
+    summary, _, bounds = soak.analyze(_recs(g), [0, 3], loss_band=0.5)
+    assert bounds == []
+    assert summary["resume_joins"] == []
+
+
+def test_epoch_records_counts_g_loss_lines(soak, tmp_path):
+    run = tmp_path / "run"
+    (run / "logs").mkdir(parents=True)
+    p = run / "logs" / "scalars.jsonl"
+    p.write_text(
+        '{"tag": "train/g_loss", "step": 1, "value": 0.5}\n'
+        '{"tag": "train/d_loss", "step": 1, "value": 0.5}\n'
+        '{"tag": "train/g_loss", "step": 2, "value": 0.4}\n'
+        '{"tag": "eval/fid", "step": 2, "value": 30.0}\n')
+    assert soak.epoch_records(str(run)) == 2
+    assert soak.epoch_records(str(tmp_path / "missing")) == 0
