@@ -55,6 +55,44 @@ def test_fused_block_grads_match(rng):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("shape", [
+    dict(b=4, n=17, e=32, heads=2),    # padded E lane, ragged tokens
+    dict(b=3, n=65, e=128, heads=4),   # v2 flagship shape, ragged batch
+])
+@pytest.mark.slow
+def test_fused_block_saved_grads_match(rng, shape):
+    """custom_vjp (saved-residual Pallas backward) == AD through XLA."""
+    from vitgan_tpu.ops.fused_block import encoder_block_fused_saved
+
+    cfg = V2Config(image_size=16, patch_size=4, embed_dim=shape["e"],
+                   num_heads=shape["heads"], mlp_ratio=2, dropout=0.0)
+    params = _encoder_init(rng, cfg)
+    b, n, e = shape["b"], shape["n"], shape["e"]
+    x = jax.random.normal(jax.random.PRNGKey(5), (b, n, e), jnp.float32)
+    cot = jax.random.normal(jax.random.PRNGKey(6), (b, n, e), jnp.float32)
+
+    def loss_fused(x, p):
+        return jnp.sum(encoder_block_fused_saved(
+            x, p, shape["heads"], 1e-5, 4, True, 2) * cot)
+
+    def loss_ref(x, p):
+        return jnp.sum(_encoder_apply(p, x, cfg, None, False) * cot)
+
+    out_f = encoder_block_fused_saved(x, params, shape["heads"], 1e-5, 4, True, 2)
+    out_r = _encoder_apply(params, x, cfg, None, False)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=2e-5, atol=2e-5)
+    gf = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+    for (pa, a), (pb, bb) in zip(
+            jax.tree_util.tree_leaves_with_path(gf),
+            jax.tree_util.tree_leaves_with_path(gr)):
+        assert pa == pb
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=5e-4, atol=5e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(pa)}")
+
+
 def test_megablock_policy_routing(rng):
     """runtime.megablock=on routes dropout-free blocks through the kernel;
     train-with-dropout keeps the standard path (no in-kernel RNG)."""

@@ -187,6 +187,40 @@ def test_fused_block_parity_on_chip():
                                atol=3e-2, rtol=3e-2)
 
 
+def test_fused_block_saved_bwd_on_chip():
+    """Saved-residual megablock backward on Mosaic: grads vs the recompute
+    custom_vjp at the deit64 production shape (bf16, ragged 257 tokens,
+    192-wide embed) — the shape whose profile motivated this kernel."""
+    from vitgan_tpu.config import V2Config
+    from vitgan_tpu.models.vitgan_v2 import _encoder_init
+    from vitgan_tpu.ops.fused_block import (encoder_block_fused,
+                                            encoder_block_fused_saved)
+
+    cfg = V2Config(image_size=64, patch_size=4, embed_dim=192, num_heads=3,
+                   mlp_ratio=4, dropout=0.0)
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                          _encoder_init(jax.random.PRNGKey(0), cfg))
+    x = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (16, 257, 192),
+                                jnp.bfloat16)
+    cot = jax.random.normal(jax.random.PRNGKey(2), x.shape, jnp.bfloat16)
+
+    def loss_saved(x, p):
+        return jnp.sum(encoder_block_fused_saved(x, p, 3, 1e-5, 8, False, 2)
+                       .astype(jnp.float32) * cot.astype(jnp.float32))
+
+    def loss_rec(x, p):
+        return jnp.sum(encoder_block_fused(x, p, 3, 1e-5, 8, False)
+                       .astype(jnp.float32) * cot.astype(jnp.float32))
+
+    gs = jax.jit(jax.grad(loss_saved, argnums=(0, 1)))(x, params)
+    gr = jax.jit(jax.grad(loss_rec, argnums=(0, 1)))(x, params)
+    for (pa, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(gs),
+                               jax.tree_util.tree_leaves_with_path(gr)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-9)
+        assert rel < 2e-2, f"{jax.tree_util.keystr(pa)} rel-norm err {rel:.5f}"
+
+
 def test_fused_block_dropout_on_chip():
     """In-kernel hardware-PRNG dropout: the forward equals the XLA reference
     applying the RETURNED masks (exact-recompute-backward invariant), mask

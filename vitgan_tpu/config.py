@@ -315,12 +315,16 @@ class RuntimeConfig:
     # vs 'two_pass' dq then dk/dv (7, with DMA-streaming variants); 'auto'
     # fuses within the VMEM budget (ops/attention.py).
     bwd_fusion: str = "auto"  # auto | fused | two_pass
-    # Route dropout-free v2 encoder blocks through the single-kernel Pallas
-    # megablock (ops/fused_block.py; backward = exact XLA recompute VJP).
-    # Opt-in; verdict pending on-chip measurement (scripts/bench_megablock.py
-    # is the harness).  use_pallas='never' wins over this knob.
+    # Route v2 encoder blocks through the single-kernel Pallas megablock
+    # (ops/fused_block.py).  Opt-in; the round-2 A/B with the recompute
+    # backward lost at v2-32px (0.62x) and was neutral at deit64
+    # (scripts/bench_megablock.py is the harness); 'megablock_bwd' picks the
+    # backward — 'saved' emits x1/z1/ao/LSE from the forward and runs a
+    # single-kernel backward with no forward recompute.
+    # use_pallas='never' wins over this knob.
     megablock: str = "off"  # off | on
     megablock_group: int = 8  # samples per megablock grid step (VMEM knob)
+    megablock_bwd: str = "saved"  # saved | recompute
     # lax.scan unroll factor for the scanned multi-step train paths: copies of
     # the step body XLA may fuse across.  Measured A/B on v5e at v2 scale
     # (scripts/bench_unroll.py): 2 → +1.6% (≈noise, 2× compile), 4 → −4.6% —

@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vitgan_tpu.ops.attention import _ceil_to
-from vitgan_tpu.ops.fused_mlp import _gelu_exactish
+from vitgan_tpu.ops.fused_mlp import _erf_poly, _gelu_exactish
 
 
 def _layernorm(x, scale, bias, d_real, eps):
@@ -64,11 +64,24 @@ def _layernorm(x, scale, bias, d_real, eps):
 
 
 def _kernel(*refs, n_real: int, e_real: int, num_heads: int, head_dim: int,
-            scale: float, eps: float, rate: float):
+            scale: float, eps: float, rate: float, want_res: bool = False):
+    pos = 0
     if rate > 0.0:
-        (seed_ref, x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref,
-         bout_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-         o_ref, m1_ref, m2_ref, attn_ref) = refs
+        seed_ref = refs[pos]; pos += 1
+    (x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+     ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref) = refs[pos:pos + 13]
+    pos += 13
+    o_ref = refs[pos]; pos += 1
+    if rate > 0.0:
+        m1_ref, m2_ref = refs[pos:pos + 2]; pos += 2
+    if want_res:
+        # saved-residual backward (see _bwd_kernel): post-attention residual,
+        # fc1 pre-activation, per-head attention output, per-head LSE
+        x1_ref, z1_ref, ao_ref, lse_ref = refs[pos:pos + 4]; pos += 4
+        attn_ref = None
+    else:
+        attn_ref = refs[pos]; pos += 1
+    if rate > 0.0:
         # hardware PRNG; decorrelate grid steps via the program index
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         keep = 1.0 - rate
@@ -76,17 +89,14 @@ def _kernel(*refs, n_real: int, e_real: int, num_heads: int, head_dim: int,
 
         def dropmul(shape):
             """Multiply-mask: 0 with prob ``rate`` else 1/keep (inverted
-            dropout).  Returned to the caller so the recompute backward
-            applies the EXACT same masks."""
+            dropout).  Returned to the caller so the backward (recompute or
+            saved-residual) applies the EXACT same masks."""
             bits = pltpu.prng_random_bits(shape)  # uint32
             return jnp.where(bits.astype(jnp.uint32) >= jnp.uint32(threshold),
                              jnp.float32(1.0 / keep), jnp.float32(0.0))
-    else:
-        (x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
-         ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-         o_ref, attn_ref) = refs
     gb, n_pad, e_pad = x_ref.shape
     rows = gb * n_pad
+    hd = num_heads * head_dim
     x = x_ref[:].astype(jnp.float32).reshape(rows, e_pad)
 
     # --- attention half: qkv projection on the MXU, per-(sample, head) scores
@@ -96,9 +106,13 @@ def _kernel(*refs, n_real: int, e_real: int, num_heads: int, head_dim: int,
                   preferred_element_type=jnp.float32)
     qkv = qkv + bqkv_ref[:].astype(jnp.float32)  # (rows, 3*H*Dh [padded])
     inv = 1.0 / math.sqrt(scale)
-    # zero the scratch: its padded columns are never written by the head loop
-    # and would otherwise inject uninitialized garbage into the projection
-    attn_ref[:] = jnp.zeros_like(attn_ref)
+    # zero the attention buffer: its padded columns are never written by the
+    # head loop and would otherwise inject uninitialized garbage into the
+    # projection (ao_ref doubles as the buffer on the saved-residual path)
+    if want_res:
+        ao_ref[:] = jnp.zeros_like(ao_ref)
+    else:
+        attn_ref[:] = jnp.zeros_like(attn_ref)
     # key mask: padded tokens must not receive softmax mass
     key_col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
     key_mask = key_col < n_real
@@ -117,11 +131,20 @@ def _kernel(*refs, n_real: int, e_real: int, num_heads: int, head_dim: int,
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) * inv
             s = jnp.where(key_mask, s, -jnp.inf)
-            p = jax.nn.softmax(s, axis=-1)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            l = jnp.sum(e, axis=-1, keepdims=True)
+            p = e / l
             o = jnp.dot(p, v, preferred_element_type=jnp.float32)
-            attn_ref[base:base + n_pad, h * head_dim:(h + 1) * head_dim] = o
+            if want_res:
+                ao_ref[b, :, h * head_dim:(h + 1) * head_dim] = o.astype(ao_ref.dtype)
+                lse_ref[b, h:h + 1, :] = (m + jnp.log(l)).reshape(1, n_pad)
+            else:
+                attn_ref[base:base + n_pad, h * head_dim:(h + 1) * head_dim] = o
 
-    proj = jnp.dot(attn_ref[:], wout_ref[:].astype(jnp.float32),
+    att = (ao_ref[:].astype(jnp.float32).reshape(rows, ao_ref.shape[-1])
+           if want_res else attn_ref[:])
+    proj = jnp.dot(att, wout_ref[:].astype(jnp.float32),
                    preferred_element_type=jnp.float32)
     a = proj + bout_ref[:].astype(jnp.float32)
     if rate > 0.0:
@@ -129,13 +152,17 @@ def _kernel(*refs, n_real: int, e_real: int, num_heads: int, head_dim: int,
         m1_ref[:] = m1.reshape(gb, n_pad, e_pad).astype(m1_ref.dtype)
         a = a * m1
     x1 = x + a
+    if want_res:
+        x1_ref[:] = x1.reshape(gb, n_pad, e_pad).astype(x1_ref.dtype)
 
     # --- MLP half
     y2 = _layernorm(x1, ln2s_ref[:].astype(jnp.float32), ln2b_ref[:].astype(jnp.float32),
                     e_real, eps)
-    h1 = _gelu_exactish(
-        jnp.dot(y2, w1_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
-        + b1_ref[:].astype(jnp.float32))
+    z1 = (jnp.dot(y2, w1_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
+          + b1_ref[:].astype(jnp.float32))
+    if want_res:
+        z1_ref[:] = z1.reshape(gb, n_pad, z1.shape[-1]).astype(z1_ref.dtype)
+    h1 = _gelu_exactish(z1)
     mlp = jnp.dot(h1, w2_ref[:].astype(jnp.float32),
                   preferred_element_type=jnp.float32) + b2_ref[:].astype(jnp.float32)
     if rate > 0.0:
@@ -146,42 +173,23 @@ def _kernel(*refs, n_real: int, e_real: int, num_heads: int, head_dim: int,
     o_ref[:] = out.reshape(gb, n_pad, e_pad).astype(o_ref.dtype)
 
 
-def fused_encoder_block(x, params, *, num_heads: int, eps: float = 1e-5,
-                        group: int = 8, interpret: bool = False,
-                        rate: float = 0.0, seed=None):
-    """x (B, N, E) -> one v2 encoder block forward.
-
-    ``params`` is a models/vitgan_v2._encoder_init dict: ln1/ln2 {scale,bias},
-    msha {qkv (3,H,E,Dh), qkv_b (3,H,Dh), out {w,b}}, fc1/fc2 {w,b}.
-
-    With ``rate > 0`` (requires an int32 ``seed``), inverted-dropout masks for
-    the attention and MLP branches are drawn from the TPU hardware PRNG
-    in-kernel and RETURNED alongside the output as float32 multiply-masks
-    (0 or 1/keep), so a recompute backward can apply the exact same masks:
-    returns ``(out, m1, m2)`` instead of ``out``.  The RNG stream differs
-    from the XLA path's jax.random masks (valid dropout, not bit-identical).
-    """
-    b, n, e = x.shape
+def _pad_params(params, num_heads, x_dtype):
+    """(h, dh, hidden, pads): every weight/bias tile-padded in kernel layout —
+    wqkv as (E, 3*H*Dh) with column order [q_h0..q_hH, k_h0.., v_h0..]."""
     qkv_w = params["msha"]["qkv"]
-    _, h, _, dh = qkv_w.shape
+    _, h, e, dh = qkv_w.shape
     if h != num_heads:
         raise ValueError(f"params carry {h} heads, num_heads={num_heads}")
     hidden = params["fc1"]["w"].shape[-1]
-
-    n_pad = _ceil_to(n, 8)
     e_pad = _ceil_to(e, 128)
     hd_pad = _ceil_to(3 * h * dh, 128)
     hidden_pad = _ceil_to(hidden, 128)
-    b_pad = _ceil_to(b, group)
 
-    # weights to kernel layout: (E, 3*H*Dh) with [q_h0..q_hH, k_h0.., v_h0..]
     wqkv = qkv_w.transpose(2, 0, 1, 3).reshape(e, 3 * h * dh)
     bqkv = params["msha"].get("qkv_b")
     bqkv = (bqkv.reshape(3 * h * dh) if bqkv is not None
-            else jnp.zeros((3 * h * dh,), x.dtype))
+            else jnp.zeros((3 * h * dh,), x_dtype))
     wout, bout = params["msha"]["out"]["w"], params["msha"]["out"]["b"]
-
-    xp = jnp.pad(x, ((0, b_pad - b), (0, n_pad - n), (0, e_pad - e)))
     pads = {
         "ln1s": jnp.pad(params["ln1"]["scale"], (0, e_pad - e)).reshape(1, e_pad),
         "ln1b": jnp.pad(params["ln1"]["bias"], (0, e_pad - e)).reshape(1, e_pad),
@@ -196,12 +204,63 @@ def fused_encoder_block(x, params, *, num_heads: int, eps: float = 1e-5,
         "w2": jnp.pad(params["fc2"]["w"], ((0, hidden_pad - hidden), (0, e_pad - e))),
         "b2": jnp.pad(params["fc2"]["b"], (0, e_pad - e)).reshape(1, e_pad),
     }
+    return h, dh, hidden, pads
+
+
+_PAD_KEYS = ("ln1s", "ln1b", "wqkv", "bqkv", "wout", "bout",
+             "ln2s", "ln2b", "w1", "b1", "w2", "b2")
+
+
+def fused_encoder_block(x, params, *, num_heads: int, eps: float = 1e-5,
+                        group: int = 8, interpret: bool = False,
+                        rate: float = 0.0, seed=None,
+                        want_residuals: bool = False):
+    """x (B, N, E) -> one v2 encoder block forward.
+
+    ``params`` is a models/vitgan_v2._encoder_init dict: ln1/ln2 {scale,bias},
+    msha {qkv (3,H,E,Dh), qkv_b (3,H,Dh), out {w,b}}, fc1/fc2 {w,b}.
+
+    With ``rate > 0`` (requires an int32 ``seed``), inverted-dropout masks for
+    the attention and MLP branches are drawn from the TPU hardware PRNG
+    in-kernel and RETURNED alongside the output as float32 multiply-masks
+    (0 or 1/keep), so the backward applies the exact same masks:
+    returns ``(out, m1, m2)`` instead of ``out``.  The RNG stream differs
+    from the XLA path's jax.random masks (valid dropout, not bit-identical).
+
+    With ``want_residuals=True`` the kernel additionally emits the PADDED
+    intermediates the saved-residual backward needs — x1 (post-attention
+    residual), z1 (fc1 pre-activation), ao (per-head attention output before
+    the projection) and per-head LSE — appended to the return tuple, along
+    with the padded input.  Masks (rate>0) come before residuals.
+    """
+    b, n, e = x.shape
+    h, dh, hidden, pads = _pad_params(params, num_heads, x.dtype)
+
+    n_pad = _ceil_to(n, 8)
+    e_pad = _ceil_to(e, 128)
+    hd_pad = _ceil_to(3 * h * dh, 128)
+    hidden_pad = _ceil_to(hidden, 128)
+    if want_residuals:
+        # Scoped-VMEM clamp: the saved-residual forward keeps x/y/qkv and
+        # the z1/h1 MLP intermediates live as f32 stack temporaries on top
+        # of the residual output tiles, so its footprint per grid step is
+        # ~2x the recompute forward's.  Measured on v5e at the deit64 shape
+        # (n_pad 264, e_pad 256, hidden 768): 13.06 KB/row at group 8 =
+        # 26.3 MB, over Mosaic's 16 MB scoped limit.  The formula below is
+        # calibrated slightly above that measurement; halve the group until
+        # the estimate fits.
+        per_row = 4 * (3.5 * e_pad + 2 * hidden_pad + 1.5 * hd_pad)
+        while group > 1 and group * n_pad * per_row > 15.5 * 2**20:
+            group //= 2
+    b_pad = _ceil_to(b, group)
+
+    xp = jnp.pad(x, ((0, b_pad - b), (0, n_pad - n), (0, e_pad - e)))
 
     if rate > 0.0 and seed is None:
         raise ValueError("dropout rate > 0 requires an int32 seed")
     kernel = functools.partial(
         _kernel, n_real=n, e_real=e, num_heads=h, head_dim=dh,
-        scale=float(dh), eps=eps, rate=float(rate))
+        scale=float(dh), eps=eps, rate=float(rate), want_res=want_residuals)
     full = lambda g: (0, 0)  # noqa: E731
     tile = pl.BlockSpec((group, n_pad, e_pad), lambda g: (g, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -223,31 +282,341 @@ def fused_encoder_block(x, params, *, num_heads: int, eps: float = 1e-5,
     args = [xp, pads["ln1s"], pads["ln1b"], pads["wqkv"], pads["bqkv"],
             pads["wout"], pads["bout"], pads["ln2s"], pads["ln2b"],
             pads["w1"], pads["b1"], pads["w2"], pads["b2"]]
-    out_shape = jax.ShapeDtypeStruct((b_pad, n_pad, e_pad), x.dtype)
-    out_specs = tile
+    hd_out_pad = _ceil_to(h * dh, 128)
+    out_shapes = [jax.ShapeDtypeStruct((b_pad, n_pad, e_pad), x.dtype)]
+    out_specs = [tile]
+    mask_tile = pl.BlockSpec((group, n_pad, e_pad), lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM)
     if rate > 0.0:
         in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
         args.insert(0, jnp.asarray(seed, jnp.int32).reshape(1))
         mask_shape = jax.ShapeDtypeStruct((b_pad, n_pad, e_pad), jnp.float32)
-        mask_tile = pl.BlockSpec((group, n_pad, e_pad), lambda g: (g, 0, 0),
-                                 memory_space=pltpu.VMEM)
-        out_shape = (out_shape, mask_shape, mask_shape)
-        out_specs = (tile, mask_tile, mask_tile)
+        out_shapes += [mask_shape, mask_shape]
+        out_specs += [mask_tile, mask_tile]
+    if want_residuals:
+        out_shapes += [
+            jax.ShapeDtypeStruct((b_pad, n_pad, e_pad), x.dtype),          # x1
+            jax.ShapeDtypeStruct((b_pad, n_pad, hidden_pad), x.dtype),     # z1
+            jax.ShapeDtypeStruct((b_pad, n_pad, hd_out_pad), x.dtype),     # ao
+            jax.ShapeDtypeStruct((b_pad, 8, n_pad), jnp.float32),          # lse
+        ]
+        out_specs += [
+            tile,
+            pl.BlockSpec((group, n_pad, hidden_pad), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, n_pad, hd_out_pad), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 8, n_pad), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     res = pl.pallas_call(
         kernel,
-        out_shape=out_shape,
+        out_shape=tuple(out_shapes) if len(out_shapes) > 1 else out_shapes[0],
         grid=(b_pad // group,),
         in_specs=in_specs,
-        out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((group * n_pad, _ceil_to(h * dh, 128)), jnp.float32),
+        out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
+        scratch_shapes=[] if want_residuals else [
+            pltpu.VMEM((group * n_pad, hd_out_pad), jnp.float32),
         ],
         interpret=interpret,
     )(*args)
+    if not isinstance(res, (tuple, list)):
+        res = (res,)
+    out = res[0][:b, :n, :e]
+    if want_residuals:
+        # padded residuals (+ padded input) go straight into the saved
+        # backward — unpadding them here would just re-pad in the vjp
+        if rate > 0.0:
+            m1p, m2p, x1p, z1p, aop, lsep = res[1:]
+            return out, (xp, m1p, m2p, x1p, z1p, aop, lsep)
+        x1p, z1p, aop, lsep = res[1:]
+        return out, (xp, x1p, z1p, aop, lsep)
     if rate > 0.0:
-        out, m1, m2 = res
-        return (out[:b, :n, :e], m1[:b, :n, :e], m2[:b, :n, :e])
-    return res[:b, :n, :e]
+        _, m1, m2 = res
+        return (out, m1[:b, :n, :e], m2[:b, :n, :e])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Saved-residual backward: one Pallas kernel, NO forward recompute
+# ---------------------------------------------------------------------------
+
+
+def _ln_stats(x, d_real, eps):
+    """(yhat, rstd, mask) for backward LN recompute — same masking discipline
+    as _layernorm; yhat is the normalized pre-scale activation."""
+    dp = x.shape[-1]
+    if d_real != dp:
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+        mask = (col < d_real).astype(jnp.float32)
+        x = x * mask
+        mean = jnp.sum(x, axis=-1, keepdims=True) / d_real
+        centered = (x - mean) * mask
+        var = jnp.sum(centered * centered, axis=-1, keepdims=True) / d_real
+    else:
+        mask = None
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        centered = x - mean
+        var = jnp.mean(centered * centered, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    yhat = centered * rstd
+    return yhat, rstd, mask
+
+
+def _ln_bwd(dY, yhat, rstd, scale, d_real, mask):
+    """dX for y = yhat*scale + bias given dY (pad lanes of dY must be zero)."""
+    t = dY * scale  # γ pad lanes are zero, so t pad lanes are zero
+    mean_t = jnp.sum(t, axis=-1, keepdims=True) / d_real
+    mean_ty = jnp.sum(t * yhat, axis=-1, keepdims=True) / d_real
+    dx = (t - mean_t - yhat * mean_ty) * rstd
+    return dx * mask if mask is not None else dx
+
+
+def _gelu_grad(z):
+    """d/dz of the erf-form GELU (matches _gelu_exactish's forward erf)."""
+    cdf = 0.5 * (1.0 + _erf_poly(z * 0.7071067811865476))
+    pdf = 0.3989422804014327 * jnp.exp(-0.5 * z * z)
+    return cdf + z * pdf
+
+
+def _bwd_kernel(*refs, n_real: int, e_real: int, num_heads: int, head_dim: int,
+                scale: float, eps: float, has_drop: bool):
+    """Block backward from saved residuals (x1, z1, ao, lse) — recomputes only
+    the cheap VPU statistics (both LNs) and the softmax weights from LSE;
+    never re-runs a forward matmul.  Weight/bias grads accumulate in f32
+    output blocks across the sequential grid (init at program 0)."""
+    pos = 0
+    (x_ref, g_ref, x1_ref, z1_ref, ao_ref, lse_ref) = refs[pos:pos + 6]
+    pos += 6
+    if has_drop:
+        m1_ref, m2_ref = refs[pos:pos + 2]; pos += 2
+    (ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+     ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref) = refs[pos:pos + 12]
+    pos += 12
+    (dx_ref, dln1s_ref, dln1b_ref, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
+     dln2s_ref, dln2b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref) = refs[pos:pos + 13]
+    pos += 13
+    dqkv_ref = refs[pos]  # VMEM scratch (rows, hd_pad) f32
+
+    grad_refs = (dln1s_ref, dln1b_ref, dwqkv_ref, dbqkv_ref, dwout_ref,
+                 dbout_ref, dln2s_ref, dln2b_ref, dw1_ref, db1_ref,
+                 dw2_ref, db2_ref)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in grad_refs:
+            r[:] = jnp.zeros_like(r)
+
+    gb, n_pad, e_pad = x_ref.shape
+    rows = gb * n_pad
+    hd_pad = dqkv_ref.shape[-1]
+    inv = 1.0 / math.sqrt(scale)
+
+    x = x_ref[:].astype(jnp.float32).reshape(rows, e_pad)
+    go = g_ref[:].astype(jnp.float32).reshape(rows, e_pad)
+    x1 = x1_ref[:].astype(jnp.float32).reshape(rows, e_pad)
+    z1 = z1_ref[:].astype(jnp.float32).reshape(rows, z1_ref.shape[-1])
+    ao = ao_ref[:].astype(jnp.float32).reshape(rows, ao_ref.shape[-1])
+
+    # --- MLP half backward: out = x1 + drop2(fc2(gelu(fc1(LN2 x1))))
+    dmlp = go * m2_ref[:].astype(jnp.float32).reshape(rows, e_pad) if has_drop else go
+    h1 = _gelu_exactish(z1)
+    dw2_ref[:] += jax.lax.dot_general(h1, dmlp, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    db2_ref[:] += jnp.sum(dmlp, axis=0, keepdims=True)
+    dh1 = jax.lax.dot_general(dmlp, w2_ref[:].astype(jnp.float32),
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dz1 = dh1 * _gelu_grad(z1)
+    yhat2, rstd2, emask = _ln_stats(x1, e_real, eps)
+    y2 = _ln_y(yhat2, ln2s_ref, ln2b_ref, emask)
+    dw1_ref[:] += jax.lax.dot_general(y2, dz1, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    db1_ref[:] += jnp.sum(dz1, axis=0, keepdims=True)
+    dy2 = jax.lax.dot_general(dz1, w1_ref[:].astype(jnp.float32),
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dln2s_ref[:] += jnp.sum(dy2 * yhat2, axis=0, keepdims=True)
+    dln2b_ref[:] += jnp.sum(dy2, axis=0, keepdims=True)
+    dx1 = go + _ln_bwd(dy2, yhat2, rstd2, ln2s_ref[:].astype(jnp.float32),
+                       e_real, emask)
+
+    # --- attention half backward: x1 = x + drop1(Wout·ao + bout)
+    da = dx1 * m1_ref[:].astype(jnp.float32).reshape(rows, e_pad) if has_drop else dx1
+    dwout_ref[:] += jax.lax.dot_general(ao, da, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+    dbout_ref[:] += jnp.sum(da, axis=0, keepdims=True)
+    dao = jax.lax.dot_general(da, wout_ref[:].astype(jnp.float32),
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    # qkv recompute (ONE matmul — the only re-run MXU op; q/k/v and the
+    # softmax weights are rebuilt from it and the saved LSE, flash-style)
+    yhat1, rstd1, _ = _ln_stats(x, e_real, eps)
+    y1 = _ln_y(yhat1, ln1s_ref, ln1b_ref, emask)
+    qkv = (jnp.dot(y1, wqkv_ref[:].astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+           + bqkv_ref[:].astype(jnp.float32))
+
+    dqkv_ref[:] = jnp.zeros_like(dqkv_ref)
+    key_col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    key_mask = key_col < n_real
+    row_valid = (jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+                 < n_real)
+    for b in range(gb):
+        base = b * n_pad
+        s_qkv = qkv[base:base + n_pad]
+        lse_b = lse_ref[b]  # (8, n_pad) f32, head h in sublane h
+        for h in range(num_heads):
+            q = s_qkv[:, h * head_dim:(h + 1) * head_dim]
+            k = s_qkv[:, (num_heads + h) * head_dim:(num_heads + h + 1) * head_dim]
+            v = s_qkv[:, (2 * num_heads + h) * head_dim:
+                      (2 * num_heads + h + 1) * head_dim]
+            do_h = dao[base:base + n_pad, h * head_dim:(h + 1) * head_dim]
+            ao_h = ao[base:base + n_pad, h * head_dim:(h + 1) * head_dim]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * inv
+            # P from saved LSE; pad KEYS get zero mass, pad QUERY rows carry
+            # garbage LSE -> zero the rows (their cotangent is zero anyway,
+            # but NaN*0 would poison dV)
+            p = jnp.exp(jnp.where(key_mask, s, -jnp.inf)
+                        - lse_b[h:h + 1, :].reshape(n_pad, 1))
+            p = jnp.where(row_valid, p, 0.0)
+            dv = jax.lax.dot_general(p, do_h, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(do_h, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            delta = jnp.sum(do_h * ao_h, axis=-1, keepdims=True)
+            ds = p * (dp - delta)
+            dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * inv
+            dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) * inv
+            dqkv_ref[base:base + n_pad, h * head_dim:(h + 1) * head_dim] = dq
+            dqkv_ref[base:base + n_pad,
+                     (num_heads + h) * head_dim:(num_heads + h + 1) * head_dim] = dk
+            dqkv_ref[base:base + n_pad,
+                     (2 * num_heads + h) * head_dim:
+                     (2 * num_heads + h + 1) * head_dim] = dv
+
+    dqkv = dqkv_ref[:]
+    dwqkv_ref[:] += jax.lax.dot_general(y1, dqkv, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+    dbqkv_ref[:] += jnp.sum(dqkv, axis=0, keepdims=True)
+    dy1 = jax.lax.dot_general(dqkv, wqkv_ref[:].astype(jnp.float32),
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dln1s_ref[:] += jnp.sum(dy1 * yhat1, axis=0, keepdims=True)
+    dln1b_ref[:] += jnp.sum(dy1, axis=0, keepdims=True)
+    dx = dx1 + _ln_bwd(dy1, yhat1, rstd1, ln1s_ref[:].astype(jnp.float32),
+                       e_real, emask)
+    dx_ref[:] = dx.reshape(gb, n_pad, e_pad).astype(dx_ref.dtype)
+
+
+def _ln_y(yhat, s_ref, b_ref, mask):
+    """Scale+shift a normalized activation, masked at padded lanes."""
+    y = yhat * s_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+    return y * mask if mask is not None else y
+
+
+def fused_encoder_block_bwd(params, g, res, *, num_heads: int, eps: float,
+                            group: int, interpret: bool, n_real: int,
+                            has_drop: bool):
+    """Saved-residual block backward.  ``res`` is the PADDED residual tuple
+    from ``fused_encoder_block(want_residuals=True)`` — (xp[, m1p, m2p], x1p,
+    z1p, aop, lsep); ``g`` is the UNPADDED output cotangent (b, n, e).
+    Returns (dx unpadded, dparams pytree matching ``params``)."""
+    if has_drop:
+        xp, m1p, m2p, x1p, z1p, aop, lsep = res
+    else:
+        xp, x1p, z1p, aop, lsep = res
+    h, dh, hidden, pads = _pad_params(params, num_heads, g.dtype)
+    b, n, e = g.shape
+    b_pad, n_pad, e_pad = xp.shape
+    hd_pad = pads["wqkv"].shape[-1]
+    hd_out_pad = pads["wout"].shape[0]
+    hidden_pad = pads["w1"].shape[-1]
+    # Scoped-VMEM clamp (see fused_encoder_block): the backward's stack holds
+    # x/go/x1/dx1-sized rows plus FOUR hidden-width intermediates (z1, h1,
+    # dh1, dz1) and the dqkv scratch, all f32 — roughly 3x the saved
+    # forward's per-row cost.  Halve the group until the estimate fits.
+    per_row = 4 * (5 * e_pad + 4 * hidden_pad + 2 * hd_pad)
+    while group > 1 and group * n_pad * per_row > 15.5 * 2**20:
+        group //= 2
+    while b_pad % group:  # b_pad was padded with the FORWARD's group
+        group //= 2
+    gp = jnp.pad(g, ((0, b_pad - b), (0, n_pad - n), (0, e_pad - e)))
+
+    kernel = functools.partial(
+        _bwd_kernel, n_real=n_real, e_real=e, num_heads=h, head_dim=dh,
+        scale=float(dh), eps=eps, has_drop=has_drop)
+    full = lambda g_: (0, 0)  # noqa: E731
+    tile = pl.BlockSpec((group, n_pad, e_pad), lambda g_: (g_, 0, 0),
+                        memory_space=pltpu.VMEM)
+    act_specs = [
+        tile,  # x
+        tile,  # g
+        tile,  # x1
+        pl.BlockSpec((group, n_pad, hidden_pad), lambda g_: (g_, 0, 0),
+                     memory_space=pltpu.VMEM),  # z1
+        pl.BlockSpec((group, n_pad, hd_out_pad), lambda g_: (g_, 0, 0),
+                     memory_space=pltpu.VMEM),  # ao
+        pl.BlockSpec((group, 8, n_pad), lambda g_: (g_, 0, 0),
+                     memory_space=pltpu.VMEM),  # lse
+    ]
+    args = [xp, gp, x1p, z1p, aop, lsep]
+    if has_drop:
+        act_specs += [tile, tile]
+        args += [m1p, m2p]
+    param_specs = [pl.BlockSpec(pads[k].shape, full, memory_space=pltpu.VMEM)
+                   for k in _PAD_KEYS]
+    args += [pads[k] for k in _PAD_KEYS]
+
+    grad_shapes = {k: jax.ShapeDtypeStruct(pads[k].shape, jnp.float32)
+                   for k in _PAD_KEYS}
+    out_shapes = [jax.ShapeDtypeStruct((b_pad, n_pad, e_pad), g.dtype)]
+    out_specs = [tile]
+    for k in _PAD_KEYS:
+        out_shapes.append(grad_shapes[k])
+        out_specs.append(pl.BlockSpec(pads[k].shape, full,
+                                      memory_space=pltpu.VMEM))
+
+    res_out = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shapes),
+        grid=(b_pad // group,),
+        in_specs=act_specs + param_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=[pltpu.VMEM((group * n_pad, hd_pad), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+    dxp, *dpads = res_out
+    dx = dxp[:b, :n, :e]
+    gd = dict(zip(_PAD_KEYS, dpads))
+
+    # un-pad + un-layout back into the params pytree
+    dparams = {
+        "ln1": {"scale": gd["ln1s"][0, :e].astype(params["ln1"]["scale"].dtype),
+                "bias": gd["ln1b"][0, :e].astype(params["ln1"]["bias"].dtype)},
+        "ln2": {"scale": gd["ln2s"][0, :e].astype(params["ln2"]["scale"].dtype),
+                "bias": gd["ln2b"][0, :e].astype(params["ln2"]["bias"].dtype)},
+        "fc1": {"w": gd["w1"][:e, :hidden].astype(params["fc1"]["w"].dtype),
+                "b": gd["b1"][0, :hidden].astype(params["fc1"]["b"].dtype)},
+        "fc2": {"w": gd["w2"][:hidden, :e].astype(params["fc2"]["w"].dtype),
+                "b": gd["b2"][0, :e].astype(params["fc2"]["b"].dtype)},
+    }
+    qkv_w = params["msha"]["qkv"]
+    dqkv_w = (gd["wqkv"][:e, :3 * h * dh].reshape(e, 3, h, dh)
+              .transpose(1, 2, 0, 3).astype(qkv_w.dtype))
+    msha = {"qkv": dqkv_w,
+            "out": {"w": gd["wout"][:h * dh, :e]
+                    .astype(params["msha"]["out"]["w"].dtype),
+                    "b": gd["bout"][0, :e]
+                    .astype(params["msha"]["out"]["b"].dtype)}}
+    if "qkv_b" in params["msha"]:
+        msha["qkv_b"] = (gd["bqkv"][0, :3 * h * dh].reshape(3, h, dh)
+                         .astype(params["msha"]["qkv_b"].dtype))
+    dparams["msha"] = msha
+    return dx, dparams
 
 
 # ---------------------------------------------------------------------------
@@ -292,6 +661,40 @@ def _bwd(num_heads, eps, group, interpret, res, g):
 
 
 encoder_block_fused.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def encoder_block_fused_saved(x, params, num_heads: int, eps: float = 1e-5,
+                              group: int = 8, interpret: bool = False,
+                              bwd_group: int = 2):
+    """Differentiable megablock with the SAVED-RESIDUAL Pallas backward: the
+    forward emits (x1, z1, ao, lse) and the backward is one kernel that never
+    re-runs a forward matmul except the qkv projection (flash-style softmax
+    rebuild from LSE).  ``bwd_group`` is small because the backward's VMEM
+    working set (z1/h1/dz1 at 4x hidden width, all in f32) is ~3x the
+    forward's."""
+    out, _ = fused_encoder_block(x, params, num_heads=num_heads, eps=eps,
+                                 group=group, interpret=interpret,
+                                 want_residuals=True)
+    return out
+
+
+def _fwd_saved(x, params, num_heads, eps, group, interpret, bwd_group):
+    out, res = fused_encoder_block(x, params, num_heads=num_heads, eps=eps,
+                                   group=group, interpret=interpret,
+                                   want_residuals=True)
+    return out, (params, x.shape[1], res)
+
+
+def _bwd_saved(num_heads, eps, group, interpret, bwd_group, residuals, g):
+    params, n_real, res = residuals
+    return fused_encoder_block_bwd(params, g, res, num_heads=num_heads,
+                                   eps=eps, group=bwd_group,
+                                   interpret=interpret, n_real=n_real,
+                                   has_drop=False)
+
+
+encoder_block_fused_saved.defvjp(_fwd_saved, _bwd_saved)
 
 
 def _block_reference_masked(x, params, m1, m2, num_heads: int, eps: float):
@@ -347,15 +750,56 @@ def _bwd_dropout(rate, num_heads, eps, group, interpret, res, g):
 encoder_block_fused_dropout.defvjp(_fwd_dropout, _bwd_dropout)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def encoder_block_fused_dropout_saved(x, params, seed, rate: float,
+                                      num_heads: int, eps: float = 1e-5,
+                                      group: int = 8, interpret: bool = False,
+                                      bwd_group: int = 2):
+    """In-kernel-dropout megablock with the saved-residual Pallas backward;
+    the hardware-PRNG multiply-masks ride along as residuals and the backward
+    kernel applies them exactly (no forward recompute)."""
+    out, _ = fused_encoder_block(x, params, num_heads=num_heads, eps=eps,
+                                 group=group, interpret=interpret,
+                                 rate=rate, seed=seed, want_residuals=True)
+    return out
+
+
+def _fwd_dropout_saved(x, params, seed, rate, num_heads, eps, group,
+                       interpret, bwd_group):
+    out, res = fused_encoder_block(x, params, num_heads=num_heads, eps=eps,
+                                   group=group, interpret=interpret,
+                                   rate=rate, seed=seed, want_residuals=True)
+    return out, (params, x.shape[1], res, seed)
+
+
+def _bwd_dropout_saved(rate, num_heads, eps, group, interpret, bwd_group,
+                       residuals, g):
+    import numpy as np
+
+    params, n_real, res, seed = residuals
+    dx, dparams = fused_encoder_block_bwd(params, g, res, num_heads=num_heads,
+                                          eps=eps, group=bwd_group,
+                                          interpret=interpret, n_real=n_real,
+                                          has_drop=True)
+    return dx, dparams, np.zeros(seed.shape, jax.dtypes.float0)
+
+
+encoder_block_fused_dropout_saved.defvjp(_fwd_dropout_saved, _bwd_dropout_saved)
+
+
 def maybe_megablock(params, x, cfg, rng, train):
     """Policy gate for models/vitgan_v2._encoder_apply: route the block through
     the fused kernel when enabled — the dropout-free kernel when dropout is
     inactive, the hardware-PRNG dropout kernel when training with dropout on a
-    real TPU.  Returns None when the caller should use the standard path."""
-    from vitgan_tpu.ops.policy import megablock_enabled, megablock_group, on_tpu
+    real TPU.  ``runtime.megablock_bwd`` picks the backward: 'saved' = the
+    single-kernel saved-residual backward (no forward recompute), 'recompute'
+    = exact XLA recompute.  Returns None for the standard path."""
+    from vitgan_tpu.ops.policy import (megablock_bwd_mode, megablock_enabled,
+                                       megablock_group, on_tpu)
 
     if not megablock_enabled():
         return None
+    saved = megablock_bwd_mode() == "saved"
     if train and cfg.dropout > 0.0:
         if rng is None or not on_tpu():
             # standard path: it surfaces the missing-rng error loudly, and
@@ -366,8 +810,15 @@ def maybe_megablock(params, x, cfg, rng, train):
         # not bit-identical to the XLA path's jax.random masks).
         seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max,
                                   dtype=jnp.int32)
+        if saved:
+            return encoder_block_fused_dropout_saved(
+                x, params, seed, float(cfg.dropout), cfg.num_heads, 1e-5,
+                megablock_group(), not on_tpu())
         return encoder_block_fused_dropout(x, params, seed, float(cfg.dropout),
                                            cfg.num_heads, 1e-5,
                                            megablock_group(), not on_tpu())
+    if saved:
+        return encoder_block_fused_saved(x, params, cfg.num_heads, 1e-5,
+                                         megablock_group(), not on_tpu())
     return encoder_block_fused(x, params, cfg.num_heads, 1e-5,
                                megablock_group(), not on_tpu())

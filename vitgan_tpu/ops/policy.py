@@ -14,14 +14,15 @@ import jax
 
 _POLICY = {"mode": "auto", "min_seq_len": 256, "min_mlp_rows": 2048, "remat": "never",
            "head_pad": "auto", "bwd_fusion": "auto", "megablock": "off",
-           "megablock_group": 8}
+           "megablock_group": 8, "megablock_bwd": "saved"}
 
 
 def set_policy(mode: str | None = None, min_seq_len: int | None = None,
                min_mlp_rows: int | None = None, remat=None,
                head_pad: str | None = None, bwd_fusion: str | None = None,
                megablock: str | None = None,
-               megablock_group: int | None = None) -> None:
+               megablock_group: int | None = None,
+               megablock_bwd: str | None = None) -> None:
     if mode is not None:
         assert mode in ("auto", "always", "never"), mode
         _POLICY["mode"] = mode
@@ -45,6 +46,9 @@ def set_policy(mode: str | None = None, min_seq_len: int | None = None,
         _POLICY["megablock"] = megablock
     if megablock_group is not None:
         _POLICY["megablock_group"] = int(megablock_group)
+    if megablock_bwd is not None:
+        assert megablock_bwd in ("saved", "recompute"), megablock_bwd
+        _POLICY["megablock_bwd"] = megablock_bwd
 
 
 def megablock_enabled() -> bool:
@@ -104,6 +108,14 @@ def megablock_group() -> int:
     """Samples per megablock grid step (VMEM working-set knob; the A/B
     harness sweeps 4/8/16 per shape)."""
     return _POLICY["megablock_group"]
+
+
+def megablock_bwd_mode() -> str:
+    """'saved' = single-kernel saved-residual backward (forward emits
+    x1/z1/ao/LSE, backward never re-runs a forward matmul — the fix for the
+    round-2 recompute backward that erased the megablock's 1.27-1.87x
+    deit64 forward win), 'recompute' = exact XLA recompute backward."""
+    return _POLICY["megablock_bwd"]
 
 
 def bwd_fusion_mode() -> str:
@@ -169,7 +181,8 @@ def apply_from_runtime(runtime_cfg) -> None:
                head_pad=getattr(runtime_cfg, "head_pad", None),
                bwd_fusion=getattr(runtime_cfg, "bwd_fusion", None),
                megablock=getattr(runtime_cfg, "megablock", None),
-               megablock_group=getattr(runtime_cfg, "megablock_group", None))
+               megablock_group=getattr(runtime_cfg, "megablock_group", None),
+               megablock_bwd=getattr(runtime_cfg, "megablock_bwd", None))
     impl = getattr(runtime_cfg, "prng_impl", None)
     if impl:
         jax.config.update("jax_default_prng_impl", impl)
