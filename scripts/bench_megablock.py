@@ -77,7 +77,7 @@ def run_case(name, s, groups=(4, 8, 16)):
         if best is None or t < best[1]:
             best = (g, t)
     if best is None:
-        print(json.dumps({"case": name, "error": "no group compiled"}))
+        print(json.dumps({"case": name, "error": "no group compiled"}), flush=True)
         return {"case": name, "error": "no group compiled"}
     g, t_pl = best
 
@@ -155,7 +155,7 @@ def run_case(name, s, groups=(4, 8, 16)):
                "bwd_group": t_sv_fb[0], "pallas_us": us(t_sv_fb[1]),
                "pallas_dropout_us": us(t_sv_do_fb),
                "speedup": round(t_xla_fb / t_sv_fb[1], 3)}}
-    print(json.dumps(res))
+    print(json.dumps(res), flush=True)
     return res
 
 

@@ -97,7 +97,7 @@ def test_sp_disables_pallas_routing(sp_guard):
         assert not use_pallas_attention(seq_len=4096)
         assert not megablock_enabled()
     finally:
-        set_policy(mode="auto", megablock="off")
+        set_policy(mode="auto", megablock="auto")
     set_sequence_parallel(None)
     assert use_pallas_attention(policy="always", seq_len=4096)
 

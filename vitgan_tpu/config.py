@@ -316,13 +316,15 @@ class RuntimeConfig:
     # fuses within the VMEM budget (ops/attention.py).
     bwd_fusion: str = "auto"  # auto | fused | two_pass
     # Route v2 encoder blocks through the single-kernel Pallas megablock
-    # (ops/fused_block.py).  Opt-in; the round-2 A/B with the recompute
-    # backward lost at v2-32px (0.62x) and was neutral at deit64
-    # (scripts/bench_megablock.py is the harness); 'megablock_bwd' picks the
-    # backward — 'saved' emits x1/z1/ao/LSE from the forward and runs a
-    # single-kernel backward with no forward recompute.
+    # (ops/fused_block.py).  The round-2 A/B with the recompute backward lost
+    # at v2-32px (0.62x) and was neutral at deit64; the saved-residual
+    # backward ('megablock_bwd=saved', which emits x1/z1/ao/LSE from the
+    # forward and runs a single-kernel backward with no forward recompute)
+    # wins 1.85x at the deit64 block shape (MEGABLOCK_r03.json).  'auto'
+    # routes only that measured-win regime: >=128 tokens, saved forward fits
+    # scoped VMEM, real TPU (ops/fused_block.maybe_megablock).
     # use_pallas='never' wins over this knob.
-    megablock: str = "off"  # off | on
+    megablock: str = "auto"  # off | on | auto
     megablock_group: int = 8  # samples per megablock grid step (VMEM knob)
     megablock_bwd: str = "saved"  # saved | recompute
     # lax.scan unroll factor for the scanned multi-step train paths: copies of

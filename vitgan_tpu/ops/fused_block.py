@@ -22,10 +22,16 @@ tokens.
 ``encoder_block_fused`` wraps the kernel in a custom_vjp (exact XLA recompute
 backward); ``encoder_block_fused_dropout`` adds in-kernel inverted dropout from
 the TPU hardware PRNG (masks ride along as residuals so the recompute backward
-is exact).  ``maybe_megablock`` routes blocks through them when
-``runtime.megablock=on`` — dropout-free always; train-with-dropout on real TPU
-only (pltpu.prng_seed has no interpret lowering).  Off by default; the A/B
-verdict is pending on-chip measurement (scripts/bench_megablock.py).
+is exact).  The ``*_saved`` variants keep x1/z1/ao/LSE as forward outputs and
+run a SINGLE-KERNEL backward with no forward recompute — the recompute
+backward erased the fusion win (round-2 A/B), the saved backward restores it
+(1.85x at the 257-token deit64 block, MEGABLOCK_r03.json).  ``maybe_megablock``
+routes blocks through them per ``runtime.megablock``: 'on' everywhere it
+lowers (train-with-dropout on real TPU only — pltpu.prng_seed has no interpret
+lowering), 'auto' only in the measured-win regime (>=128 tokens, saved forward
+fits scoped VMEM, real TPU), 'off' (default) never.  Harnesses:
+scripts/bench_megablock.py (block level), scripts/bench_megablock_step.py
+(full train step).
 """
 
 from __future__ import annotations
@@ -173,6 +179,27 @@ def _kernel(*refs, n_real: int, e_real: int, num_heads: int, head_dim: int,
     o_ref[:] = out.reshape(gb, n_pad, e_pad).astype(o_ref.dtype)
 
 
+def saved_fwd_group(group: int, n_pad: int, e_pad: int, hidden_pad: int,
+                    hd_pad: int, dropout: bool = False) -> int:
+    """Scoped-VMEM clamp for the saved-residual forward: it keeps x/y/qkv
+    and the z1/h1 MLP intermediates live as f32 stack temporaries on top of
+    the residual output tiles, so its footprint per grid step is ~2x the
+    recompute forward's.  Measured on v5e at the deit64 shape (n_pad 264,
+    e_pad 256, hidden 768): 13.06 KB/row at group 8 = 26.3 MB, over
+    Mosaic's 16 MB scoped limit; with in-kernel dropout the PRNG bits plus
+    the two f32 multiply-mask outputs add another ~7.3 KB/row (measured
+    20.4 MB at group 4, n_pad 256).  The formulas are calibrated slightly
+    above those measurements; halves the group until the estimate fits.
+    Returns 0 when even group=1 cannot fit (e.g. hires shapes, ~1k tokens
+    at embed 384 — the flash-attention path owns that regime)."""
+    per_row = 4 * (3.5 * e_pad + 2 * hidden_pad + 1.5 * hd_pad)
+    if dropout:
+        per_row += 4 * 8 * e_pad
+    while group >= 1 and group * n_pad * per_row > 15.5 * 2**20:
+        group //= 2
+    return group
+
+
 def _pad_params(params, num_heads, x_dtype):
     """(h, dh, hidden, pads): every weight/bias tile-padded in kernel layout —
     wqkv as (E, 3*H*Dh) with column order [q_h0..q_hH, k_h0.., v_h0..]."""
@@ -241,17 +268,13 @@ def fused_encoder_block(x, params, *, num_heads: int, eps: float = 1e-5,
     hd_pad = _ceil_to(3 * h * dh, 128)
     hidden_pad = _ceil_to(hidden, 128)
     if want_residuals:
-        # Scoped-VMEM clamp: the saved-residual forward keeps x/y/qkv and
-        # the z1/h1 MLP intermediates live as f32 stack temporaries on top
-        # of the residual output tiles, so its footprint per grid step is
-        # ~2x the recompute forward's.  Measured on v5e at the deit64 shape
-        # (n_pad 264, e_pad 256, hidden 768): 13.06 KB/row at group 8 =
-        # 26.3 MB, over Mosaic's 16 MB scoped limit.  The formula below is
-        # calibrated slightly above that measurement; halve the group until
-        # the estimate fits.
-        per_row = 4 * (3.5 * e_pad + 2 * hidden_pad + 1.5 * hd_pad)
-        while group > 1 and group * n_pad * per_row > 15.5 * 2**20:
-            group //= 2
+        group = saved_fwd_group(group, n_pad, e_pad, hidden_pad, hd_pad,
+                                dropout=rate > 0.0)
+        if group == 0:
+            raise ValueError(
+                f"saved-residual megablock forward cannot fit scoped VMEM "
+                f"even at group=1 (n_pad={n_pad}, e_pad={e_pad}, "
+                f"hidden_pad={hidden_pad}) — use the recompute backward")
     b_pad = _ceil_to(b, group)
 
     xp = jnp.pad(x, ((0, b_pad - b), (0, n_pad - n), (0, e_pad - e)))
@@ -540,6 +563,12 @@ def fused_encoder_block_bwd(params, g, res, *, num_heads: int, eps: float,
     # dh1, dz1) and the dqkv scratch, all f32 — roughly 3x the saved
     # forward's per-row cost.  Halve the group until the estimate fits.
     per_row = 4 * (5 * e_pad + 4 * hidden_pad + 2 * hd_pad)
+    if has_drop:
+        # Calibrated on v5e at deit64 (n_pad 264, e_pad 256, hidden 768,
+        # hd_pad 640): Mosaic's actual stack was 16.09 MB at group 2 =
+        # 31.2 KB/row — the two resident f32 masks plus the de-masking
+        # temporaries cost ~9.4 KB/row over the dropout-free backward.
+        per_row += 4 * 10 * e_pad
     while group > 1 and group * n_pad * per_row > 15.5 * 2**20:
         group //= 2
     while b_pad % group:  # b_pad was padded with the FORWARD's group
@@ -794,12 +823,30 @@ def maybe_megablock(params, x, cfg, rng, train):
     real TPU.  ``runtime.megablock_bwd`` picks the backward: 'saved' = the
     single-kernel saved-residual backward (no forward recompute), 'recompute'
     = exact XLA recompute.  Returns None for the standard path."""
-    from vitgan_tpu.ops.policy import (megablock_bwd_mode, megablock_enabled,
-                                       megablock_group, on_tpu)
+    from vitgan_tpu.ops.policy import (megablock_bwd_mode, megablock_group,
+                                       megablock_mode, on_tpu)
 
-    if not megablock_enabled():
+    mode = megablock_mode()
+    if mode == "off":
         return None
-    saved = megablock_bwd_mode() == "saved"
+    if mode == "auto":
+        # Measured-win regime only (MEGABLOCK_r03.json): saved-bwd 1.85x at
+        # 257 tokens; 0.83-0.95x at 65 tokens; the saved forward cannot fit
+        # scoped VMEM at hires shapes (~1k tokens).  Real TPU only — the
+        # interpret-mode kernel is for parity tests, not speed.
+        n, e = x.shape[1], x.shape[2]
+        h = cfg.num_heads
+        dh = e // h
+        hidden = params["fc1"]["w"].shape[-1]
+        fits = saved_fwd_group(1, _ceil_to(n, 8), _ceil_to(e, 128),
+                               _ceil_to(hidden, 128),
+                               _ceil_to(3 * h * dh, 128),
+                               dropout=train and cfg.dropout > 0.0) >= 1
+        if n < 128 or not fits or not on_tpu():
+            return None
+        saved = True
+    else:
+        saved = megablock_bwd_mode() == "saved"
     if train and cfg.dropout > 0.0:
         if rng is None or not on_tpu():
             # standard path: it surfaces the missing-rng error loudly, and

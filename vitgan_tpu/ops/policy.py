@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 
 _POLICY = {"mode": "auto", "min_seq_len": 256, "min_mlp_rows": 2048, "remat": "never",
-           "head_pad": "auto", "bwd_fusion": "auto", "megablock": "off",
+           "head_pad": "auto", "bwd_fusion": "auto", "megablock": "auto",
            "megablock_group": 8, "megablock_bwd": "saved"}
 
 
@@ -42,7 +42,7 @@ def set_policy(mode: str | None = None, min_seq_len: int | None = None,
         assert bwd_fusion in ("auto", "fused", "two_pass"), bwd_fusion
         _POLICY["bwd_fusion"] = bwd_fusion
     if megablock is not None:
-        assert megablock in ("off", "on"), megablock
+        assert megablock in ("off", "on", "auto"), megablock
         _POLICY["megablock"] = megablock
     if megablock_group is not None:
         _POLICY["megablock_group"] = int(megablock_group)
@@ -51,14 +51,21 @@ def set_policy(mode: str | None = None, min_seq_len: int | None = None,
         _POLICY["megablock_bwd"] = megablock_bwd
 
 
+def megablock_mode() -> str:
+    """'on' routes v2 encoder blocks through the single-kernel megablock
+    (ops/fused_block.py) everywhere it lowers; 'auto' routes only in the
+    measured-win regime (>=128 tokens with the saved-residual backward, on
+    real TPU — see ops/fused_block.maybe_megablock for the exact gate and
+    MEGABLOCK_r03.json for the numbers); 'off' never.  ``mode='never'`` is
+    the global Pallas kill switch and wins over this knob, as does sequence
+    parallelism (GSPMD cannot partition a custom call)."""
+    if _POLICY["mode"] == "never" or sequence_parallel_active():
+        return "off"
+    return _POLICY["megablock"]
+
+
 def megablock_enabled() -> bool:
-    """Route dropout-free v2 encoder blocks through the single-kernel
-    megablock (ops/fused_block.py).  Opt-in ('off' by default; A/B verdict
-    pending — scripts/bench_megablock.py is the harness).  ``mode='never'``
-    is the global Pallas kill switch and wins over this knob, as does
-    sequence parallelism (GSPMD cannot partition a custom call)."""
-    return (_POLICY["megablock"] == "on" and _POLICY["mode"] != "never"
-            and not sequence_parallel_active())
+    return megablock_mode() != "off"
 
 
 # --- sequence (context) parallelism ----------------------------------------

@@ -40,14 +40,23 @@ def build_preset_cfg(name: str):
 def xla_step_gflops(cfg, gan, state) -> Optional[float]:
     """XLA cost-analysis FLOPs of ONE raw train step, in GFLOP (None if the
     backend does not expose cost analysis).  NOTE: XLA counts a lax.scan body
-    once regardless of trip count, so scanned-call cost = this * scan_steps."""
+    once regardless of trip count, so scanned-call cost = this * scan_steps.
+
+    Counted under ``use_pallas='never'`` — the FLOP model is a property of
+    the math, not the schedule, and XLA's cost analysis reports 0 for the
+    FLOPs inside a Pallas custom call (with the megablock routed, the whole
+    encoder block would vanish from the count: deit64 read 5.5 GFLOP instead
+    of 1,762)."""
     import jax
     import jax.numpy as jnp
 
+    from vitgan_tpu.ops import policy
     from vitgan_tpu.train.step import make_raw_train_step
 
     m = cfg.model
+    saved = dict(policy._POLICY)
     try:
+        policy._POLICY["mode"] = "never"
         raw = jax.jit(make_raw_train_step(gan, cfg))
         real0 = jnp.zeros((m.batch_size, m.image_size, m.image_size, m.channels),
                           jnp.float32)
@@ -56,6 +65,8 @@ def xla_step_gflops(cfg, gan, state) -> Optional[float]:
         return float(ca["flops"]) / 1e9
     except Exception:
         return None
+    finally:
+        policy._POLICY.update(saved)
 
 
 def build_scanned_harness(cfg, scan_steps: int, dataset_images: int = 512,
