@@ -191,3 +191,20 @@ def test_fused_block_group_padding(rng):
     got = fused_encoder_block(x, params, num_heads=2, group=8, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_saved_group_vmem_clamp():
+    """The scoped-VMEM clamp formulas are calibrated against measured Mosaic
+    stack sizes (MEGABLOCK_r03.json vmem_calibration); pin the decisions they
+    must make at the production shapes so a formula regression is caught
+    before an on-chip OOM."""
+    from vitgan_tpu.ops.fused_block import saved_fwd_group
+
+    # deit64: n_pad 264, e_pad 256, hidden_pad 768, hd_pad 640.
+    # Dropout-free fwd measured 13.06 KB/row -> group 8 (26 MB) must clamp.
+    assert saved_fwd_group(8, 264, 256, 768, 640) in (2, 4)
+    # With in-kernel dropout the fwd still fits at a smaller group.
+    assert saved_fwd_group(8, 264, 256, 768, 640, dropout=True) >= 1
+    # hires (1032 tokens, embed 384, hidden 1536): even group=1 cannot fit —
+    # the flash-attention path owns that regime (maybe_megablock relies on 0).
+    assert saved_fwd_group(8, 1032, 384, 1536, 1152) == 0
