@@ -47,3 +47,21 @@ def mesh8():
 @pytest.fixture
 def rng():
     return jax.random.PRNGKey(0)
+
+
+@pytest.fixture(autouse=True)
+def _isolate_kernel_policy():
+    """Global kernel policy must not leak between tests: DEV-mode configs set
+    runtime.use_pallas='never' and any CLI/trainer test applies that to the
+    process-wide _POLICY via apply_from_runtime, silently disabling kernel
+    routing for every later test in the session (caught as an
+    order-dependent test_megablock_auto_gate failure)."""
+    from vitgan_tpu.ops import policy
+
+    saved = dict(policy._POLICY)
+    saved_sp = dict(policy._SP)
+    yield
+    policy._POLICY.clear()
+    policy._POLICY.update(saved)
+    policy._SP.clear()
+    policy._SP.update(saved_sp)
