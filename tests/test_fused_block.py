@@ -198,13 +198,18 @@ def test_saved_group_vmem_clamp():
     stack sizes (MEGABLOCK_r03.json vmem_calibration); pin the decisions they
     must make at the production shapes so a formula regression is caught
     before an on-chip OOM."""
-    from vitgan_tpu.ops.fused_block import saved_fwd_group
+    from vitgan_tpu.ops.fused_block import _VMEM_BUDGET, saved_fwd_group
 
-    # deit64: n_pad 264, e_pad 256, hidden_pad 768, hd_pad 640.
-    # Dropout-free fwd measured 13.06 KB/row -> group 8 (26 MB) must clamp.
-    assert saved_fwd_group(8, 264, 256, 768, 640) in (2, 4)
-    # With in-kernel dropout the fwd still fits at a smaller group.
-    assert saved_fwd_group(8, 264, 256, 768, 640, dropout=True) >= 1
-    # hires (1032 tokens, embed 384, hidden 1536): even group=1 cannot fit —
-    # the flash-attention path owns that regime (maybe_megablock relies on 0).
-    assert saved_fwd_group(8, 1032, 384, 1536, 1152) == 0
+    # deit64: n_pad 264, e_pad 256, hidden_pad 768, hd_pad 640.  Under the
+    # raised 48 MB per-kernel limit the dropout-free fwd (measured 13.06
+    # KB/row -> 26 MB at group 8) fits un-clamped; both paths stay >= 1.
+    assert saved_fwd_group(8, 264, 256, 768, 640) == 8
+    assert saved_fwd_group(8, 264, 256, 768, 640, dropout=True) >= 4
+    # A shape whose group-1 estimate exceeds the budget must return 0
+    # (fused_encoder_block raises rather than compile an OOM kernel).
+    assert saved_fwd_group(8, 8192, 1024, 4096, 3072) == 0
+    # hires (1032 tokens) fits the raised budget at small groups, but the
+    # auto gate excludes it via the <=512-token cap (the clamp formulas are
+    # calibrated at ~264 tokens; flash attention owns the hires regime).
+    assert saved_fwd_group(8, 1032, 384, 1536, 1152) >= 1
+    assert _VMEM_BUDGET < 48 * 2**20

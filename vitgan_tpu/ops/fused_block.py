@@ -47,6 +47,17 @@ from jax.experimental.pallas import tpu as pltpu
 from vitgan_tpu.ops.attention import _ceil_to
 from vitgan_tpu.ops.fused_mlp import _erf_poly, _gelu_exactish
 
+# Mosaic's default scoped-VMEM (kernel stack) budget is 16 MB; the
+# saved-residual kernels are capacity-bound on it — the group clamps below
+# were halving the deit64 backward down to group 1.  Every megablock
+# pallas_call therefore raises the per-kernel limit to 48 MB, which leaves
+# room for Mosaic's double-buffered I/O tiles inside the 128 MB physical
+# VMEM of a v5e core.  _VMEM_BUDGET is what the clamp formulas check
+# against (0.5 MB headroom, the same margin the 16 MB-era 15.5 MB check
+# carried).
+_VMEM_LIMIT_BYTES = 48 * 2**20
+_VMEM_BUDGET = _VMEM_LIMIT_BYTES - 2**19
+
 
 def _layernorm(x, scale, bias, d_real, eps):
     """Row LayerNorm over the first ``d_real`` features (padding masked)."""
@@ -189,13 +200,15 @@ def saved_fwd_group(group: int, n_pad: int, e_pad: int, hidden_pad: int,
     Mosaic's 16 MB scoped limit; with in-kernel dropout the PRNG bits plus
     the two f32 multiply-mask outputs add another ~7.3 KB/row (measured
     20.4 MB at group 4, n_pad 256).  The formulas are calibrated slightly
-    above those measurements; halves the group until the estimate fits.
-    Returns 0 when even group=1 cannot fit (e.g. hires shapes, ~1k tokens
-    at embed 384 — the flash-attention path owns that regime)."""
+    above those measurements (at n_pad≈264 — they fold the quadratic
+    attention-score term into the linear coefficient, which is why the auto
+    gate also caps tokens at the measured regime); halves the group until
+    the estimate fits the raised _VMEM_BUDGET.  Returns 0 when even group=1
+    cannot fit."""
     per_row = 4 * (3.5 * e_pad + 2 * hidden_pad + 1.5 * hd_pad)
     if dropout:
         per_row += 4 * 8 * e_pad
-    while group >= 1 and group * n_pad * per_row > 15.5 * 2**20:
+    while group >= 1 and group * n_pad * per_row > _VMEM_BUDGET:
         group //= 2
     return group
 
@@ -341,6 +354,8 @@ def fused_encoder_block(x, params, *, num_heads: int, eps: float = 1e-5,
         scratch_shapes=[] if want_residuals else [
             pltpu.VMEM((group * n_pad, hd_out_pad), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(*args)
     if not isinstance(res, (tuple, list)):
@@ -569,7 +584,7 @@ def fused_encoder_block_bwd(params, g, res, *, num_heads: int, eps: float,
         # 31.2 KB/row — the two resident f32 masks plus the de-masking
         # temporaries cost ~9.4 KB/row over the dropout-free backward.
         per_row += 4 * 10 * e_pad
-    while group > 1 and group * n_pad * per_row > 15.5 * 2**20:
+    while group > 1 and group * n_pad * per_row > _VMEM_BUDGET:
         group //= 2
     while b_pad % group:  # b_pad was padded with the FORWARD's group
         group //= 2
@@ -616,6 +631,8 @@ def fused_encoder_block_bwd(params, g, res, *, num_heads: int, eps: float,
         in_specs=act_specs + param_specs,
         out_specs=tuple(out_specs),
         scratch_shapes=[pltpu.VMEM((group * n_pad, hd_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(*args)
     dxp, *dpads = res_out
@@ -831,8 +848,11 @@ def maybe_megablock(params, x, cfg, rng, train):
         return None
     if mode == "auto":
         # Measured-win regime only (MEGABLOCK_r03.json): saved-bwd 1.85x at
-        # 257 tokens; 0.83-0.95x at 65 tokens; the saved forward cannot fit
-        # scoped VMEM at hires shapes (~1k tokens).  Real TPU only — the
+        # 257 tokens; 0.83-0.95x at 65 tokens.  The >512-token exclusion
+        # keeps hires (~1k tokens) on the tuned flash-attention path: the
+        # VMEM clamp formulas are calibrated at ~264 tokens (the in-kernel
+        # N^2 score term is folded into their linear coefficient) and the
+        # megablock is unmeasured there.  Real TPU only — the
         # interpret-mode kernel is for parity tests, not speed.
         n, e = x.shape[1], x.shape[2]
         h = cfg.num_heads
@@ -842,7 +862,7 @@ def maybe_megablock(params, x, cfg, rng, train):
                                _ceil_to(hidden, 128),
                                _ceil_to(3 * h * dh, 128),
                                dropout=train and cfg.dropout > 0.0) >= 1
-        if n < 128 or not fits or not on_tpu():
+        if not 128 <= n <= 512 or not fits or not on_tpu():
             return None
         saved = True
     else:
