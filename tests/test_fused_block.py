@@ -193,6 +193,79 @@ def test_fused_block_group_padding(rng):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_gelu_grad_is_exact_ad_of_kernel_forward():
+    """_gelu_grad must differentiate the _erf_poly approximation the forward
+    actually computes — not analytic erf-GELU (ADVICE r3: a small systematic
+    mismatch, fixed by _erf_poly_grad)."""
+    from vitgan_tpu.ops.fused_block import _gelu_grad
+    from vitgan_tpu.ops.fused_mlp import _gelu_exactish
+
+    z = jnp.linspace(-6.0, 6.0, 2049, dtype=jnp.float32)
+    want = jax.vmap(jax.grad(_gelu_exactish))(z)
+    got = _gelu_grad(z)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_fused_block_saved_many_heads(rng):
+    """num_heads > 8: the LSE residual's sublane dim must pad to ceil8(H)
+    (ADVICE r3: the hardcoded 8 made 16-head configs fail at trace time)."""
+    from vitgan_tpu.ops.fused_block import encoder_block_fused_saved
+
+    cfg = V2Config(image_size=16, patch_size=4, embed_dim=64, num_heads=16,
+                   mlp_ratio=2, dropout=0.0)
+    params = _encoder_init(rng, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 17, 64), jnp.float32)
+    cot = jax.random.normal(jax.random.PRNGKey(6), (2, 17, 64), jnp.float32)
+
+    out_f = encoder_block_fused_saved(x, params, 16, 1e-5, 4, True, 2)
+    out_r = _encoder_apply(params, x, cfg, None, False)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_fused(x, p):
+        return jnp.sum(encoder_block_fused_saved(x, p, 16, 1e-5, 4, True, 2)
+                       * cot)
+
+    def loss_ref(x, p):
+        return jnp.sum(_encoder_apply(p, x, cfg, None, False) * cot)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_megablock_auto_honors_bwd_knob(rng, monkeypatch):
+    """megablock_bwd='recompute' is the escape hatch from the saved kernels;
+    under auto (whose win was measured WITH the saved backward) it must fall
+    back to the standard path rather than being silently ignored (ADVICE r3)."""
+    from vitgan_tpu.ops import fused_block as FB
+    from vitgan_tpu.ops.policy import set_policy
+
+    routed = []
+    monkeypatch.setattr(
+        FB, "encoder_block_fused_saved",
+        lambda x, *a, **k: routed.append(x.shape) or x)
+    monkeypatch.setattr("vitgan_tpu.ops.policy.on_tpu", lambda: True)
+
+    cfg = V2Config(image_size=64, patch_size=4, embed_dim=64, num_heads=2,
+                   mlp_ratio=2, dropout=0.0)
+    params = _encoder_init(rng, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 257, 64))
+    try:
+        set_policy(megablock="auto", megablock_bwd="recompute")
+        _encoder_apply(params, x, cfg, None, False)
+        assert routed == []  # escape hatch honored: no megablock routing
+        set_policy(megablock_bwd="saved")
+        _encoder_apply(params, x, cfg, None, False)
+        assert routed == [(2, 257, 64)]
+    finally:
+        set_policy(megablock="auto", megablock_bwd="saved")
+
+
 def test_saved_group_vmem_clamp():
     """The scoped-VMEM clamp formulas are calibrated against measured Mosaic
     stack sizes (MEGABLOCK_r03.json vmem_calibration); pin the decisions they

@@ -221,6 +221,55 @@ def test_fused_block_saved_bwd_on_chip():
         assert rel < 2e-2, f"{jax.tree_util.keystr(pa)} rel-norm err {rel:.5f}"
 
 
+def test_fused_block_dropout_saved_bwd_on_chip():
+    """Grad parity of encoder_block_fused_dropout_saved (the DEFAULT
+    production path on real TPU at 128-512 tokens with V2Config.dropout=0.1)
+    vs encoder_block_fused_dropout (recompute backward) at the SAME seed:
+    identical in-kernel PRNG streams draw identical masks, so gradients must
+    match to kernel-numerics tolerance.  Deit64 production shape (ADVICE r3:
+    this variant previously had no parity test anywhere)."""
+    from vitgan_tpu.config import V2Config
+    from vitgan_tpu.models.vitgan_v2 import _encoder_init
+    from vitgan_tpu.ops.fused_block import (encoder_block_fused_dropout,
+                                            encoder_block_fused_dropout_saved)
+
+    cfg = V2Config(image_size=64, patch_size=4, embed_dim=192, num_heads=3,
+                   mlp_ratio=4, dropout=0.1)
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                          _encoder_init(jax.random.PRNGKey(0), cfg))
+    x = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (16, 257, 192),
+                                jnp.bfloat16)
+    cot = jax.random.normal(jax.random.PRNGKey(2), x.shape, jnp.bfloat16)
+    seed = jnp.asarray(4321, jnp.int32)
+
+    def loss_saved(x, p):
+        return jnp.sum(encoder_block_fused_dropout_saved(
+            x, p, seed, 0.1, 3, 1e-5, 8, False, 2).astype(jnp.float32)
+            * cot.astype(jnp.float32))
+
+    def loss_rec(x, p):
+        return jnp.sum(encoder_block_fused_dropout(
+            x, p, seed, 0.1, 3, 1e-5, 8, False).astype(jnp.float32)
+            * cot.astype(jnp.float32))
+
+    # same seed => identical forwards first (cheap invariant, isolates any
+    # PRNG-stream divergence from backward-math differences)
+    out_s = jax.jit(lambda x, p: encoder_block_fused_dropout_saved(
+        x, p, seed, 0.1, 3, 1e-5, 8, False, 2))(x, params)
+    out_r = jax.jit(lambda x, p: encoder_block_fused_dropout(
+        x, p, seed, 0.1, 3, 1e-5, 8, False))(x, params)
+    np.testing.assert_array_equal(np.asarray(out_s, np.float32),
+                                  np.asarray(out_r, np.float32))
+
+    gs = jax.jit(jax.grad(loss_saved, argnums=(0, 1)))(x, params)
+    gr = jax.jit(jax.grad(loss_rec, argnums=(0, 1)))(x, params)
+    for (pa, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(gs),
+                               jax.tree_util.tree_leaves_with_path(gr)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-9)
+        assert rel < 2e-2, f"{jax.tree_util.keystr(pa)} rel-norm err {rel:.5f}"
+
+
 def test_fused_block_dropout_on_chip():
     """In-kernel hardware-PRNG dropout: the forward equals the XLA reference
     applying the RETURNED masks (exact-recompute-backward invariant), mask

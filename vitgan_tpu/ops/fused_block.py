@@ -45,7 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vitgan_tpu.ops.attention import _ceil_to
-from vitgan_tpu.ops.fused_mlp import _erf_poly, _gelu_exactish
+from vitgan_tpu.ops.fused_mlp import _erf_poly, _erf_poly_grad, _gelu_exactish
 
 # Mosaic's default scoped-VMEM (kernel stack) budget is 16 MB; the
 # saved-residual kernels are capacity-bound on it — the group clamps below
@@ -199,16 +199,18 @@ def saved_fwd_group(group: int, n_pad: int, e_pad: int, hidden_pad: int,
     e_pad 256, hidden 768): 13.06 KB/row at group 8 = 26.3 MB, over
     Mosaic's 16 MB scoped limit; with in-kernel dropout the PRNG bits plus
     the two f32 multiply-mask outputs add another ~7.3 KB/row (measured
-    20.4 MB at group 4, n_pad 256).  The formulas are calibrated slightly
-    above those measurements (at n_pad≈264 — they fold the quadratic
-    attention-score term into the linear coefficient, which is why the auto
-    gate also caps tokens at the measured regime); halves the group until
-    the estimate fits the raised _VMEM_BUDGET.  Returns 0 when even group=1
-    cannot fit."""
+    20.4 MB at group 4, n_pad 256).  On top of the linear per-row cost, one
+    set of (n_pad, n_pad) f32 attention-score temporaries (s/e/p + the key
+    mask) is live at a time (Mosaic reuses the buffers across the unrolled
+    head loop — the deit64 measurement confirms no per-head scaling), which
+    only matters at long sequences: ~1.1 MB at 264 tokens vs ~17 MB at
+    hires' 1032.  Halves the group until the estimate fits the raised
+    _VMEM_BUDGET.  Returns 0 when even group=1 cannot fit."""
     per_row = 4 * (3.5 * e_pad + 2 * hidden_pad + 1.5 * hd_pad)
     if dropout:
         per_row += 4 * 8 * e_pad
-    while group >= 1 and group * n_pad * per_row > _VMEM_BUDGET:
+    score = 16 * n_pad * n_pad  # 4 live (n_pad, n_pad) f32 buffers
+    while group >= 1 and group * n_pad * per_row + score > _VMEM_BUDGET:
         group //= 2
     return group
 
@@ -330,11 +332,15 @@ def fused_encoder_block(x, params, *, num_heads: int, eps: float = 1e-5,
         out_shapes += [mask_shape, mask_shape]
         out_specs += [mask_tile, mask_tile]
     if want_residuals:
+        # LSE rides one head per sublane; pad the sublane dim to the 8-row
+        # tile so ANY head count lowers (heads beyond num_heads are never
+        # written or read — harmless garbage in a residual buffer)
+        h_lse = _ceil_to(h, 8)
         out_shapes += [
             jax.ShapeDtypeStruct((b_pad, n_pad, e_pad), x.dtype),          # x1
             jax.ShapeDtypeStruct((b_pad, n_pad, hidden_pad), x.dtype),     # z1
             jax.ShapeDtypeStruct((b_pad, n_pad, hd_out_pad), x.dtype),     # ao
-            jax.ShapeDtypeStruct((b_pad, 8, n_pad), jnp.float32),          # lse
+            jax.ShapeDtypeStruct((b_pad, h_lse, n_pad), jnp.float32),      # lse
         ]
         out_specs += [
             tile,
@@ -342,7 +348,7 @@ def fused_encoder_block(x, params, *, num_heads: int, eps: float = 1e-5,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((group, n_pad, hd_out_pad), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, 8, n_pad), lambda g: (g, 0, 0),
+            pl.BlockSpec((group, h_lse, n_pad), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
     res = pl.pallas_call(
@@ -411,10 +417,14 @@ def _ln_bwd(dY, yhat, rstd, scale, d_real, mask):
 
 
 def _gelu_grad(z):
-    """d/dz of the erf-form GELU (matches _gelu_exactish's forward erf)."""
-    cdf = 0.5 * (1.0 + _erf_poly(z * 0.7071067811865476))
-    pdf = 0.3989422804014327 * jnp.exp(-0.5 * z * z)
-    return cdf + z * pdf
+    """Exact d/dz of _gelu_exactish — differentiates the _erf_poly
+    APPROXIMATION the forward actually computes (via _erf_poly_grad), so the
+    saved backward is true AD of the kernel forward rather than the analytic
+    erf-GELU derivative (which would carry a small systematic mismatch)."""
+    c = 0.7071067811865476
+    u = z * c
+    # gelu(z) = 0.5 z (1 + E(u))  =>  gelu'(z) = 0.5 (1 + E(u)) + 0.5 z E'(u) c
+    return 0.5 * (1.0 + _erf_poly(u)) + 0.5 * z * _erf_poly_grad(u) * c
 
 
 def _bwd_kernel(*refs, n_real: int, e_real: int, num_heads: int, head_dim: int,
@@ -504,7 +514,7 @@ def _bwd_kernel(*refs, n_real: int, e_real: int, num_heads: int, head_dim: int,
     for b in range(gb):
         base = b * n_pad
         s_qkv = qkv[base:base + n_pad]
-        lse_b = lse_ref[b]  # (8, n_pad) f32, head h in sublane h
+        lse_b = lse_ref[b]  # (ceil8(H), n_pad) f32, head h in sublane h
         for h in range(num_heads):
             q = s_qkv[:, h * head_dim:(h + 1) * head_dim]
             k = s_qkv[:, (num_heads + h) * head_dim:(num_heads + h + 1) * head_dim]
@@ -584,7 +594,10 @@ def fused_encoder_block_bwd(params, g, res, *, num_heads: int, eps: float,
         # 31.2 KB/row — the two resident f32 masks plus the de-masking
         # temporaries cost ~9.4 KB/row over the dropout-free backward.
         per_row += 4 * 10 * e_pad
-    while group > 1 and group * n_pad * per_row > _VMEM_BUDGET:
+    # one live set of (n_pad, n_pad) f32 score-space temporaries
+    # (s/p/dp/ds + the two iota masks) — see saved_fwd_group
+    score = 24 * n_pad * n_pad
+    while group > 1 and group * n_pad * per_row + score > _VMEM_BUDGET:
         group //= 2
     while b_pad % group:  # b_pad was padded with the FORWARD's group
         group //= 2
@@ -604,7 +617,7 @@ def fused_encoder_block_bwd(params, g, res, *, num_heads: int, eps: float,
                      memory_space=pltpu.VMEM),  # z1
         pl.BlockSpec((group, n_pad, hd_out_pad), lambda g_: (g_, 0, 0),
                      memory_space=pltpu.VMEM),  # ao
-        pl.BlockSpec((group, 8, n_pad), lambda g_: (g_, 0, 0),
+        pl.BlockSpec((group, lsep.shape[1], n_pad), lambda g_: (g_, 0, 0),
                      memory_space=pltpu.VMEM),  # lse
     ]
     args = [xp, gp, x1p, z1p, aop, lsep]
@@ -846,27 +859,28 @@ def maybe_megablock(params, x, cfg, rng, train):
     mode = megablock_mode()
     if mode == "off":
         return None
+    saved = megablock_bwd_mode() == "saved"
     if mode == "auto":
         # Measured-win regime only (MEGABLOCK_r03.json): saved-bwd 1.85x at
         # 257 tokens; 0.83-0.95x at 65 tokens.  The >512-token exclusion
         # keeps hires (~1k tokens) on the tuned flash-attention path: the
-        # VMEM clamp formulas are calibrated at ~264 tokens (the in-kernel
-        # N^2 score term is folded into their linear coefficient) and the
-        # megablock is unmeasured there.  Real TPU only — the
+        # VMEM clamp formulas are calibrated at ~264 tokens and the
+        # megablock is unmeasured there (MEGABLOCK_HIRES_r04 pending).
+        # The win was measured with the saved backward — the recompute
+        # backward LOST end-to-end (round-2 A/B), so megablock_bwd=
+        # 'recompute' (the escape hatch from the saved kernels) falls back
+        # to the standard path entirely under auto.  Real TPU only — the
         # interpret-mode kernel is for parity tests, not speed.
         n, e = x.shape[1], x.shape[2]
-        h = cfg.num_heads
-        dh = e // h
+        h = params["msha"]["qkv"].shape[1]
+        dh = params["msha"]["qkv"].shape[-1]
         hidden = params["fc1"]["w"].shape[-1]
         fits = saved_fwd_group(1, _ceil_to(n, 8), _ceil_to(e, 128),
                                _ceil_to(hidden, 128),
                                _ceil_to(3 * h * dh, 128),
                                dropout=train and cfg.dropout > 0.0) >= 1
-        if not 128 <= n <= 512 or not fits or not on_tpu():
+        if not saved or not 128 <= n <= 512 or not fits or not on_tpu():
             return None
-        saved = True
-    else:
-        saved = megablock_bwd_mode() == "saved"
     if train and cfg.dropout > 0.0:
         if rng is None or not on_tpu():
             # standard path: it surfaces the missing-rng error loudly, and

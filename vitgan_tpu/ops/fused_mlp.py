@@ -41,6 +41,21 @@ def _erf_poly(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+def _erf_poly_grad(x):
+    """d/dx of _erf_poly — the derivative of the APPROXIMATION itself, not of
+    true erf, so a backward built on it matches AD of the polynomial forward
+    exactly.  _erf_poly is odd, hence its derivative is even: evaluate at |x|.
+    """
+    a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    p = 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    dpoly = (((5 * a5 * t + 4 * a4) * t + 3 * a3) * t + 2 * a2) * t + a1
+    # d/dx [1 - poly(t)e^{-x^2}] = e^{-x^2} (poly'(t)·p·t^2 + 2x·poly(t)), x>0
+    return jnp.exp(-ax * ax) * (dpoly * p * t * t + 2.0 * ax * poly)
+
+
 def _gelu_exactish(x):
     return 0.5 * x * (1.0 + _erf_poly(x * 0.7071067811865476))
 
