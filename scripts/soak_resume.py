@@ -158,6 +158,23 @@ def analyze(recs, boundaries, loss_band):
                       "g_loss_after": round(after, 4),
                       "continuous": bool(abs(after - before)
                                           <= loss_band * max(abs(before), 1e-3))})
+    # Dynamics verdict (VERDICT r3: the round-3 soak called a collapsed run
+    # ok because it only measured resume continuity).  Same criterion as the
+    # trainer's collapse detector: mean D accuracy sustained >= 0.98 over the
+    # trajectory tail means D has won everything.
+    acc_r = [r["value"] for r in recs if r["tag"] == "train/d_real_acc"]
+    acc_f = [r["value"] for r in recs if r["tag"] == "train/d_fake_acc"]
+    tail = 10
+    accs = [0.5 * (a + b) for a, b in zip(acc_r, acc_f)][-tail:]
+    collapse_flags = [r["value"] for r in recs if r["tag"] == "train/collapse"]
+    collapsed = bool(accs and min(accs) >= 0.98) or bool(
+        collapse_flags and collapse_flags[-1] >= 1.0)
+    dynamics = {
+        "d_acc_tail_min": round(min(accs), 4) if accs else None,
+        "d_acc_tail_mean": round(sum(accs) / len(accs), 4) if accs else None,
+        "collapsed": collapsed,
+        "verdict": "collapsed" if collapsed else "healthy",
+    }
     return {
         "logged_epochs": len(steps),
         "final_step": steps[-1] if steps else 0,
@@ -167,6 +184,7 @@ def analyze(recs, boundaries, loss_band):
         "all_joins_continuous": all(j["continuous"] for j in joins),
         "d_loss_final": round(d[-1][1], 4) if d else None,
         "g_loss_final": round(g[-1][1], 4) if g else None,
+        "dynamics": dynamics,
     }, g, boundaries
 
 
@@ -260,6 +278,9 @@ def main():
             and summary["all_joins_continuous"]
             and summary["steps_strictly_monotone"]
             and len(kept) <= 4
+            # a soak whose model collapsed is NOT ok, however clean the
+            # resume mechanics were (VERDICT r3 weak #1)
+            and not summary["dynamics"]["collapsed"]
         ),
     }
     png = os.path.splitext(args.out)[0] + "_trajectory.png"

@@ -80,3 +80,39 @@ def test_epoch_records_counts_g_loss_lines(soak, tmp_path):
         '{"tag": "eval/fid", "step": 2, "value": 30.0}\n')
     assert soak.epoch_records(str(run)) == 2
     assert soak.epoch_records(str(tmp_path / "missing")) == 0
+
+
+def _recs_with_acc(gs, acc):
+    """_recs plus per-epoch D-accuracy riders at a constant level."""
+    out = _recs(gs)
+    for step, _ in gs:
+        out.append({"tag": "train/d_real_acc", "step": step, "value": acc})
+        out.append({"tag": "train/d_fake_acc", "step": step, "value": acc})
+    return out
+
+
+def test_dynamics_verdict_collapsed(soak):
+    """A run whose D accuracy plateaus at ~1.0 is 'collapsed' and NOT ok,
+    however clean the resume mechanics were (VERDICT r3 weak #1)."""
+    g = [(100 * (i + 1), 10.0 + i) for i in range(12)]
+    summary, _, _ = soak.analyze(_recs_with_acc(g, 1.0), [4], loss_band=0.5)
+    assert summary["dynamics"]["collapsed"]
+    assert summary["dynamics"]["verdict"] == "collapsed"
+    assert summary["dynamics"]["d_acc_tail_min"] == 1.0
+
+
+def test_dynamics_verdict_healthy(soak):
+    g = [(100 * (i + 1), 0.7) for i in range(12)]
+    summary, _, _ = soak.analyze(_recs_with_acc(g, 0.6), [4], loss_band=0.5)
+    assert not summary["dynamics"]["collapsed"]
+    assert summary["dynamics"]["verdict"] == "healthy"
+
+
+def test_dynamics_verdict_trusts_trainer_flag(soak):
+    """The trainer's own train/collapse flag also trips the verdict (covers
+    runs where the accuracy tail recovered after the trainer aborted)."""
+    g = [(100, 0.7), (200, 0.7)]
+    recs = _recs_with_acc(g, 0.5)
+    recs.append({"tag": "train/collapse", "step": 200, "value": 1.0})
+    summary, _, _ = soak.analyze(recs, [], loss_band=0.5)
+    assert summary["dynamics"]["collapsed"]

@@ -130,3 +130,74 @@ def test_trainer_sample(tmp_path, smoke_cfg):
     tr = Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
     imgs = tr.sample(4)
     assert imgs.shape == (4, 32, 32, 3)
+
+
+def _synthetic_epoch_metrics(tr, d_acc):
+    """Monkeypatch payload: one 'step' of epoch metrics at a given D accuracy."""
+    import jax.numpy as jnp
+
+    def steps(run):
+        m = {"d_loss": jnp.asarray(0.01 if d_acc >= 0.98 else 1.3),
+             "g_loss": jnp.asarray(3.0),
+             "d_real_acc": jnp.asarray(d_acc),
+             "d_fake_acc": jnp.asarray(d_acc)}
+        tr.state = tr.state.replace(step=tr.state.step + 1)
+        yield m, tr.cfg.model.batch_size
+
+    return steps
+
+
+def test_trainer_collapse_detection_aborts(tmp_path, smoke_cfg):
+    """VERDICT r3: sustained D-accuracy≈1 must be flagged (and abort under
+    run.collapse_abort) instead of the run quietly training to completion."""
+    cfg = C.replace(smoke_cfg, run_name="t_collapse", **{
+        "run.collapse_window": 3, "run.collapse_abort": True,
+        "run.sample_grid_every_epochs": 0, "run.fid_every_epochs": 0,
+        "run.checkpoint_every_epochs": 0})
+    tr = Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
+    tr._epoch_steps = _synthetic_epoch_metrics(tr, d_acc=1.0)
+    tr.fit(epochs=10)
+    assert tr.collapsed
+    assert tr.epoch == 3  # aborted after the window filled, not at 10
+    # collapse is a failed experiment, not a poisoned state: final save runs
+    assert tr.ckpts.latest_step() is not None
+    # the flag is in the metrics stream for analyzers (soak dynamics verdict)
+    import json as _json
+    flags = [_json.loads(l) for l in open(
+        os.path.join(str(tmp_path), "t_collapse", "logs", "scalars.jsonl"))
+        if '"train/collapse"' in l]
+    assert flags and flags[-1]["value"] == 1.0
+
+
+def test_trainer_collapse_detection_healthy_run_untouched(tmp_path, smoke_cfg):
+    cfg = C.replace(smoke_cfg, run_name="t_nocollapse", **{
+        "run.collapse_window": 3, "run.collapse_abort": True,
+        "run.sample_grid_every_epochs": 0, "run.fid_every_epochs": 0,
+        "run.checkpoint_every_epochs": 0})
+    tr = Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
+    tr._epoch_steps = _synthetic_epoch_metrics(tr, d_acc=0.7)
+    tr.fit(epochs=5)
+    assert not tr.collapsed
+    assert tr.epoch == 5
+
+
+def test_trainer_collapse_window_resets_on_recovery(tmp_path, smoke_cfg):
+    """An accuracy dip below the threshold resets the consecutive counter."""
+    import jax.numpy as jnp
+
+    cfg = C.replace(smoke_cfg, run_name="t_reset", **{
+        "run.collapse_window": 3, "run.collapse_abort": True,
+        "run.sample_grid_every_epochs": 0, "run.fid_every_epochs": 0,
+        "run.checkpoint_every_epochs": 0})
+    tr = Trainer(cfg, run_base=str(tmp_path), fid_extractor="random_conv")
+    accs = iter([1.0, 1.0, 0.6, 1.0, 1.0, 0.6, 1.0, 1.0])
+
+    def steps(run):
+        a = next(accs)
+        tr.state = tr.state.replace(step=tr.state.step + 1)
+        yield {"d_loss": jnp.asarray(1.0), "g_loss": jnp.asarray(3.0),
+               "d_real_acc": jnp.asarray(a), "d_fake_acc": jnp.asarray(a)}, 8
+
+    tr._epoch_steps = steps
+    tr.fit(epochs=8)
+    assert not tr.collapsed  # never 3 consecutive epochs at >= 0.98

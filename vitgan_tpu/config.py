@@ -380,6 +380,19 @@ class TrainRunConfig:
     # instead of the poisoned state.  Costs nothing: the per-epoch means are
     # already materialized on the host for logging.
     abort_on_nan: bool = True
+    # Collapse detection (the GAN failure mode NaN guards miss): when the
+    # epoch-mean D accuracy (avg of real/fake) stays >= collapse_acc for
+    # collapse_window consecutive epochs, D has won everything — for a GAN
+    # that plateau is as terminal as NaN (working form of the reference's
+    # best-criterion intent, ref:src/v1/gan.py:136-138).  Always warns loudly
+    # and logs train/collapse=1; collapse_abort additionally stops the run
+    # (the state is finite, so the final checkpoint IS saved — a collapsed
+    # run is a failed experiment, not a poisoned one).  Accuracy-based so it
+    # works for BCE (d_loss -> 0) and WGAN (whose healthy d_loss wanders
+    # near 0) alike.  collapse_window=0 disables.
+    collapse_window: int = 10
+    collapse_acc: float = 0.98
+    collapse_abort: bool = False
 
 
 @dataclass(frozen=True)

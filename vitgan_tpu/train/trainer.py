@@ -414,6 +414,8 @@ class Trainer:
         last: Dict[str, float] = {}
         t_start = time.time()
         self._poisoned = False  # set when abort_on_nan trips (skip final save)
+        self.collapsed = False  # set when collapse detection trips
+        collapse_run = 0  # consecutive epochs at D-wins-everything accuracy
         try:
             # Input/noise reference grids once per run (ref:src/v2/training.py:166-168).
             first_real, _ = next(iter(self.pipeline.epoch()))
@@ -474,6 +476,37 @@ class Trainer:
                         self.ckpts.latest_step(),
                     )
                     break
+                # Collapse detection (VERDICT r3: a d_loss≈0 / D-accuracy≈1
+                # plateau is as terminal as NaN for a GAN, and the NaN guard
+                # alone let a collapsed 61k-step soak report ok).  Epoch-mean
+                # D accuracy is already on the host; a sustained plateau at
+                # >= collapse_acc for collapse_window epochs means D wins
+                # everything and G gradients are vanishing.
+                if run.collapse_window > 0 and "d_real_acc" in means:
+                    acc = 0.5 * (means["d_real_acc"] + means["d_fake_acc"])
+                    collapse_run = collapse_run + 1 if acc >= run.collapse_acc else 0
+                    tripped = collapse_run >= run.collapse_window
+                    self.metrics.scalar("train/collapse", float(tripped),
+                                        int(self.state.step))
+                    if tripped and not self.collapsed:
+                        self.collapsed = True
+                        self.log.error(
+                            "GAN collapse detected at epoch %d: mean D accuracy "
+                            ">= %.2f for %d consecutive epochs (d_loss=%.4f "
+                            "g_loss=%.4f) — the discriminator has won and "
+                            "generator gradients are vanishing.  %s",
+                            epoch, run.collapse_acc, run.collapse_window,
+                            means.get("d_loss", float("nan")),
+                            means.get("g_loss", float("nan")),
+                            "Aborting (run.collapse_abort=True); the final "
+                            "state is finite and IS checkpointed."
+                            if run.collapse_abort else
+                            "Continuing (set run.collapse_abort=True to stop "
+                            "collapsed runs automatically).")
+                        if run.collapse_abort:
+                            last = means
+                            self.epoch = epoch + 1  # epoch completed; resume continues after it
+                            break
 
                 if run.sample_grid_every_epochs and (epoch + 1) % run.sample_grid_every_epochs == 0:
                     self._save_grids(epoch)
