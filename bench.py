@@ -223,10 +223,13 @@ def run_bench():
         )
 
     vs = None
+    baseline_threads = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
     if os.path.exists(base_path):
         with open(base_path) as f:
-            base = json.load(f).get("torch_cpu_images_per_sec")
+            _base_rec = json.load(f)
+        base = _base_rec.get("torch_cpu_images_per_sec")
+        baseline_threads = _base_rec.get("threads")
         if base:
             vs = ips_per_chip / base
 
@@ -238,6 +241,14 @@ def run_bench():
         "value": round(ips_per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        # vs_baseline context (round-3 verdict weak #5): the denominator is a
+        # single-thread torch-CPU run on this 1-core host — flattering by
+        # construction.  The defensible numbers are mfu_pct (fraction of the
+        # chip's dense bf16 peak) and FID at equal step budget (fid_budget).
+        "baseline_threads": baseline_threads,
+        "mfu_pct": (round(100.0 * implied_tflops / _chip_peak_tflops(), 2)
+                    if implied_tflops else None),
+        "fid_budget": "FID_COMPARISON.json (scripts/fid_budget_comparison.py; BENCHMARKS.md §FID at equal step budget)",
         "timed_to": "host readback of final train state",
         "block_until_ready_agrees": bool(sync_ok),
         "sync_regime": "synchronous" if sync_ok else

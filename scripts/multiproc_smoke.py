@@ -1,0 +1,204 @@
+"""REAL 2-process ``jax.distributed`` smoke (VERDICT r4 #3).
+
+Round 3's multi-host story was simulated: per-process data slicing was
+unit-tested inside one process and ``initialize_distributed`` had never
+executed.  This harness runs the actual thing on one box, CPU backend:
+
+  - a coordinator at localhost, 2 processes x 4 virtual devices each
+    (``--xla_force_host_platform_device_count=4``),
+  - ``initialize_distributed()`` executes for real in every process
+    (COORDINATOR_ADDRESS + NUM_PROCESSES/PROCESS_ID env contract,
+    parallel/mesh.py),
+  - each process feeds its own contiguous slice of every global batch
+    through ``jax.make_array_from_process_local_data``
+    (data/pipeline.HostDataPipeline, the same code path single-host runs
+    exercise),
+  - a DP train step over the global 8-device mesh runs for several steps,
+  - the per-step losses must match a single-process 8-device run of the
+    identical program to 1e-3 (the dryrun tolerance).
+
+Role in the reference: none exists — SURVEY §2.5 names the distributed comm
+backend a first-class component the rebuild must add.
+
+Usage:
+  python scripts/multiproc_smoke.py --out MULTIPROC_r04.json
+Exit code 0 iff both processes executed distributed init AND losses match.
+"""
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_STEPS = 3
+
+
+def _runner(out_path: str) -> int:
+    """Executed inside each process (single-proc reference AND both
+    distributed workers): init, pipeline, N train steps, write metrics."""
+    sys.path.insert(0, REPO)
+    from vitgan_tpu.parallel import initialize_distributed
+
+    initialize_distributed()  # no-op without COORDINATOR_ADDRESS
+
+    import jax
+    import numpy as np
+
+    assert jax.devices()[0].platform == "cpu", (
+        "smoke child must run on the virtual CPU platform, got "
+        f"{jax.devices()[0].platform} — axon plugin leaked into the child env")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vitgan_tpu import config as C
+    from vitgan_tpu.data import make_pipeline
+    from vitgan_tpu.models import build_gan
+    from vitgan_tpu.ops.policy import apply_from_runtime
+    from vitgan_tpu.parallel.mesh import make_mesh
+    from vitgan_tpu.train.state import create_train_state
+    from vitgan_tpu.train.step import make_train_step
+
+    cfg = C.smoke_config("v2")
+    # threefry: sharding-invariant random bits, so the 1-process and
+    # 2-process programs draw identical noise/dropout (rbg's partitionable
+    # generator does not guarantee that).
+    cfg = C.replace(cfg, **{"v2.batch_size": 16,
+                            "runtime.prng_impl": "threefry2x32",
+                            "data.on_device": False})
+    apply_from_runtime(cfg.runtime)
+    mesh = make_mesh(cfg.mesh)
+    gan = build_gan(cfg)
+    state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
+    # Replicate over the GLOBAL mesh from host values: every process computes
+    # the identical init (same key), and device_put of host arrays to a
+    # multi-process sharding is the standard replication incantation.
+    repl = NamedSharding(mesh, P())
+    state = jax.tree.map(lambda x: jax.device_put(np.asarray(x), repl), state)
+    pipeline = make_pipeline(cfg.data, cfg.model.batch_size,
+                             cfg.model.image_size, cfg.model.channels,
+                             mesh=mesh, seed=0,
+                             synthetic_samples=cfg.data.synthetic_samples)
+    step = make_train_step(gan, cfg, donate=False)
+    losses = []
+    it = pipeline.epoch()
+    for i, (real, _labels) in enumerate(it):
+        if i >= N_STEPS:
+            break
+        state, m = step(state, real)
+        # d/g losses are replicated scalars: readable on every process.
+        losses.append({"d_loss": float(np.asarray(m["d_loss"])),
+                       "g_loss": float(np.asarray(m["g_loss"]))})
+    info = {
+        "process_count": jax.process_count(),
+        "process_index": jax.process_index(),
+        "device_count": jax.device_count(),
+        "local_device_count": jax.local_device_count(),
+        "distributed_initialized": jax.process_count() > 1,
+        "losses": losses,
+    }
+    if jax.process_index() == 0:
+        with open(out_path, "w") as f:
+            json.dump(info, f, indent=2)
+    # All processes must exit cleanly — a worker crash is a smoke failure.
+    return 0
+
+
+def _spawn(role_env: dict, out_path: str, log_path: str):
+    env = dict(os.environ)
+    env.pop("COORDINATOR_ADDRESS", None)
+    env.pop("NUM_PROCESSES", None)
+    env.pop("PROCESS_ID", None)
+    # The image's sitecustomize force-registers the axon TPU plugin and
+    # overrides the platform choice whenever PALLAS_AXON_POOL_IPS is set —
+    # with it present the children silently ran on the 1-chip axon backend
+    # (device_count=1) instead of the virtual 8-device CPU platform.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.update(role_env)
+    env["JAX_PLATFORMS"] = "cpu"
+    cmd = [sys.executable, os.path.abspath(__file__), "--run-child", out_path]
+    lf = open(log_path, "w")
+    return subprocess.Popen(cmd, cwd=REPO, stdout=lf, stderr=subprocess.STDOUT,
+                            env=env), lf
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run-child", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--out", default="MULTIPROC_r04.json")
+    ap.add_argument("--tol", type=float, default=1e-3)
+    args = ap.parse_args()
+    if args.run_child:
+        return _runner(args.run_child)
+
+    t0 = time.time()
+    # Reference: ONE process, 8 virtual devices.
+    ref_out = "/tmp/mp_ref.json"
+    p, lf = _spawn({"XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+                   ref_out, "/tmp/mp_ref.log")
+    rc_ref = p.wait(timeout=1200)
+    lf.close()
+
+    # Distributed: TWO processes x 4 virtual devices, localhost coordinator.
+    port = _free_port()
+    dist_out = "/tmp/mp_dist.json"
+    procs = []
+    for pid in range(2):
+        procs.append(_spawn(
+            {"XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+             "COORDINATOR_ADDRESS": f"localhost:{port}",
+             "NUM_PROCESSES": "2", "PROCESS_ID": str(pid)},
+            dist_out, f"/tmp/mp_dist{pid}.log"))
+    rcs = []
+    for p, lf in procs:
+        rcs.append(p.wait(timeout=1200))
+        lf.close()
+
+    ref = json.load(open(ref_out)) if rc_ref == 0 else None
+    dist = json.load(open(dist_out)) if all(r == 0 for r in rcs) else None
+    parity = []
+    ok = bool(ref and dist
+              and dist["process_count"] == 2
+              and dist["device_count"] == 8
+              and dist["local_device_count"] == 4
+              and dist["distributed_initialized"]
+              and len(ref["losses"]) == len(dist["losses"]) == N_STEPS)
+    if ok:
+        for i, (a, b) in enumerate(zip(ref["losses"], dist["losses"])):
+            for k in ("d_loss", "g_loss"):
+                rel = abs(a[k] - b[k]) / max(abs(a[k]), 1e-9)
+                parity.append({"step": i, "metric": k,
+                               "single_proc": a[k], "two_proc": b[k],
+                               "rel_err": rel})
+        ok = all(p["rel_err"] <= args.tol for p in parity)
+    out = {
+        "what": "real 2-process jax.distributed smoke: localhost coordinator, "
+                "2 procs x 4 CPU devices, DP train step, loss parity vs "
+                "single-process 8-device run",
+        "ref_rc": rc_ref, "dist_rcs": rcs,
+        "single_proc": ref, "two_proc": dist,
+        "parity": parity, "tol": args.tol,
+        "wall_s": round(time.time() - t0, 1),
+        "ok": ok,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({"ok": ok, "parity": parity,
+                      "two_proc_topology": None if not dist else
+                      {k: dist[k] for k in ("process_count", "device_count",
+                                            "local_device_count")}}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -28,6 +28,14 @@ def initialize_distributed() -> None:
 
     if "COORDINATOR_ADDRESS" not in os.environ:
         return
+    # On TPU pods initialize() auto-detects topology; non-TPU backends (the
+    # CPU-backend multi-process smoke, scripts/multiproc_smoke.py) cannot, so
+    # NUM_PROCESSES/PROCESS_ID are honored when set.
+    kwargs = {"coordinator_address": os.environ["COORDINATOR_ADDRESS"]}
+    if "NUM_PROCESSES" in os.environ:
+        kwargs["num_processes"] = int(os.environ["NUM_PROCESSES"])
+    if "PROCESS_ID" in os.environ:
+        kwargs["process_id"] = int(os.environ["PROCESS_ID"])
     # ORDER MATTERS: jax.distributed.initialize() must run before anything
     # that initializes the XLA backends — including jax.process_count(), so
     # no "already initialized?" probe is possible here.  If the launcher
@@ -35,7 +43,7 @@ def initialize_distributed() -> None:
     # other failure is LOUD (a host silently training as an isolated
     # single-process world is the worst failure mode).
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
         if "must be called before" in str(e) or "already" in str(e).lower():
             return  # launcher (or a prior call) initialized first — fine
