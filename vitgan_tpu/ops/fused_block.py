@@ -55,7 +55,9 @@ from vitgan_tpu.ops.fused_mlp import _erf_poly, _erf_poly_grad, _gelu_exactish
 # VMEM of a v5e core.  _VMEM_BUDGET is what the clamp formulas check
 # against (0.5 MB headroom, the same margin the 16 MB-era 15.5 MB check
 # carried).
-_VMEM_LIMIT_BYTES = 48 * 2**20
+import os as _os
+
+_VMEM_LIMIT_BYTES = int(_os.environ.get("VITGAN_MEGABLOCK_VMEM_MB", "48")) * 2**20
 _VMEM_BUDGET = _VMEM_LIMIT_BYTES - 2**19
 
 
@@ -114,12 +116,19 @@ def _kernel(*refs, n_real: int, e_real: int, num_heads: int, head_dim: int,
     gb, n_pad, e_pad = x_ref.shape
     rows = gb * n_pad
     hd = num_heads * head_dim
+    # MAC dtype discipline (same as ops/attention.py): matmul OPERANDS in the
+    # input dtype (bf16 on the production path — full-rate MXU), f32
+    # ACCUMULATION via preferred_element_type.  The previous all-f32 operands
+    # capped every MXU op at the ~4x-slower f32 rate; VPU math (LN statistics,
+    # softmax, GELU) stays f32.  The XLA path casts weights to the activation
+    # dtype too (models/layers.py linear), so numerics match it.
+    mac_dt = x_ref.dtype
     x = x_ref[:].astype(jnp.float32).reshape(rows, e_pad)
 
     # --- attention half: qkv projection on the MXU, per-(sample, head) scores
     y = _layernorm(x, ln1s_ref[:].astype(jnp.float32), ln1b_ref[:].astype(jnp.float32),
                    e_real, eps)
-    qkv = jnp.dot(y, wqkv_ref[:].astype(jnp.float32),
+    qkv = jnp.dot(y.astype(mac_dt), wqkv_ref[:].astype(mac_dt),
                   preferred_element_type=jnp.float32)
     qkv = qkv + bqkv_ref[:].astype(jnp.float32)  # (rows, 3*H*Dh [padded])
     inv = 1.0 / math.sqrt(scale)
@@ -145,14 +154,16 @@ def _kernel(*refs, n_real: int, e_real: int, num_heads: int, head_dim: int,
             k = s_qkv[:, (num_heads + h) * head_dim:(num_heads + h + 1) * head_dim]
             v = s_qkv[:, (2 * num_heads + h) * head_dim:
                       (2 * num_heads + h + 1) * head_dim]
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+            s = jax.lax.dot_general(q.astype(mac_dt), k.astype(mac_dt),
+                                    (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) * inv
             s = jnp.where(key_mask, s, -jnp.inf)
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
             l = jnp.sum(e, axis=-1, keepdims=True)
             p = e / l
-            o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+            o = jnp.dot(p.astype(mac_dt), v.astype(mac_dt),
+                        preferred_element_type=jnp.float32)
             if want_res:
                 ao_ref[b, :, h * head_dim:(h + 1) * head_dim] = o.astype(ao_ref.dtype)
                 lse_ref[b, h:h + 1, :] = (m + jnp.log(l)).reshape(1, n_pad)
@@ -161,7 +172,7 @@ def _kernel(*refs, n_real: int, e_real: int, num_heads: int, head_dim: int,
 
     att = (ao_ref[:].astype(jnp.float32).reshape(rows, ao_ref.shape[-1])
            if want_res else attn_ref[:])
-    proj = jnp.dot(att, wout_ref[:].astype(jnp.float32),
+    proj = jnp.dot(att.astype(mac_dt), wout_ref[:].astype(mac_dt),
                    preferred_element_type=jnp.float32)
     a = proj + bout_ref[:].astype(jnp.float32)
     if rate > 0.0:
@@ -175,12 +186,13 @@ def _kernel(*refs, n_real: int, e_real: int, num_heads: int, head_dim: int,
     # --- MLP half
     y2 = _layernorm(x1, ln2s_ref[:].astype(jnp.float32), ln2b_ref[:].astype(jnp.float32),
                     e_real, eps)
-    z1 = (jnp.dot(y2, w1_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
+    z1 = (jnp.dot(y2.astype(mac_dt), w1_ref[:].astype(mac_dt),
+                  preferred_element_type=jnp.float32)
           + b1_ref[:].astype(jnp.float32))
     if want_res:
         z1_ref[:] = z1.reshape(gb, n_pad, z1.shape[-1]).astype(z1_ref.dtype)
     h1 = _gelu_exactish(z1)
-    mlp = jnp.dot(h1, w2_ref[:].astype(jnp.float32),
+    mlp = jnp.dot(h1.astype(mac_dt), w2_ref[:].astype(mac_dt),
                   preferred_element_type=jnp.float32) + b2_ref[:].astype(jnp.float32)
     if rate > 0.0:
         m2 = dropmul((rows, e_pad))
@@ -210,6 +222,30 @@ def saved_fwd_group(group: int, n_pad: int, e_pad: int, hidden_pad: int,
     if dropout:
         per_row += 4 * 8 * e_pad
     score = 16 * n_pad * n_pad  # 4 live (n_pad, n_pad) f32 buffers
+    while group >= 1 and group * n_pad * per_row + score > _VMEM_BUDGET:
+        group //= 2
+    return group
+
+
+def saved_bwd_group(group: int, n_pad: int, e_pad: int, hidden_pad: int,
+                    hd_pad: int, dropout: bool = False) -> int:
+    """Scoped-VMEM clamp for the saved-residual BACKWARD (see
+    fused_encoder_block_bwd) — same contract as saved_fwd_group: halves the
+    group until the estimate fits _VMEM_BUDGET, returns 0 when even group=1
+    cannot fit (e.g. hires' 1032 tokens x hidden 1536: ~68 MB at group 1).
+    The backward's stack holds x/go/x1/dx1-sized rows plus FOUR hidden-width
+    f32 intermediates (z1, h1, dh1, dz1) and the dqkv scratch — ~3x the saved
+    forward's per-row cost (calibrated at deit64, round 3)."""
+    per_row = 4 * (5 * e_pad + 4 * hidden_pad + 2 * hd_pad)
+    if dropout:
+        # Calibrated on v5e at deit64 (n_pad 264, e_pad 256, hidden 768,
+        # hd_pad 640): Mosaic's actual stack was 16.09 MB at group 2 =
+        # 31.2 KB/row — the two resident f32 masks plus the de-masking
+        # temporaries cost ~9.4 KB/row over the dropout-free backward.
+        per_row += 4 * 10 * e_pad
+    # one live set of (n_pad, n_pad) f32 score-space temporaries
+    # (s/p/dp/ds + the two iota masks) — see saved_fwd_group
+    score = 24 * n_pad * n_pad
     while group >= 1 and group * n_pad * per_row + score > _VMEM_BUDGET:
         group //= 2
     return group
@@ -459,6 +495,11 @@ def _bwd_kernel(*refs, n_real: int, e_real: int, num_heads: int, head_dim: int,
     rows = gb * n_pad
     hd_pad = dqkv_ref.shape[-1]
     inv = 1.0 / math.sqrt(scale)
+    # MAC dtype discipline — see _kernel: operands in the input dtype (bf16 in
+    # production), f32 accumulation.  Weight-grad ACCUMULATORS stay f32 output
+    # refs; only the per-product operands round, exactly like XLA's AD of a
+    # bf16 matmul.
+    mac_dt = x_ref.dtype
 
     x = x_ref[:].astype(jnp.float32).reshape(rows, e_pad)
     go = g_ref[:].astype(jnp.float32).reshape(rows, e_pad)
@@ -469,19 +510,21 @@ def _bwd_kernel(*refs, n_real: int, e_real: int, num_heads: int, head_dim: int,
     # --- MLP half backward: out = x1 + drop2(fc2(gelu(fc1(LN2 x1))))
     dmlp = go * m2_ref[:].astype(jnp.float32).reshape(rows, e_pad) if has_drop else go
     h1 = _gelu_exactish(z1)
-    dw2_ref[:] += jax.lax.dot_general(h1, dmlp, (((0,), (0,)), ((), ())),
+    dw2_ref[:] += jax.lax.dot_general(h1.astype(mac_dt), dmlp.astype(mac_dt),
+                                      (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
     db2_ref[:] += jnp.sum(dmlp, axis=0, keepdims=True)
-    dh1 = jax.lax.dot_general(dmlp, w2_ref[:].astype(jnp.float32),
+    dh1 = jax.lax.dot_general(dmlp.astype(mac_dt), w2_ref[:].astype(mac_dt),
                               (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     dz1 = dh1 * _gelu_grad(z1)
     yhat2, rstd2, emask = _ln_stats(x1, e_real, eps)
     y2 = _ln_y(yhat2, ln2s_ref, ln2b_ref, emask)
-    dw1_ref[:] += jax.lax.dot_general(y2, dz1, (((0,), (0,)), ((), ())),
+    dw1_ref[:] += jax.lax.dot_general(y2.astype(mac_dt), dz1.astype(mac_dt),
+                                      (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
     db1_ref[:] += jnp.sum(dz1, axis=0, keepdims=True)
-    dy2 = jax.lax.dot_general(dz1, w1_ref[:].astype(jnp.float32),
+    dy2 = jax.lax.dot_general(dz1.astype(mac_dt), w1_ref[:].astype(mac_dt),
                               (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     dln2s_ref[:] += jnp.sum(dy2 * yhat2, axis=0, keepdims=True)
@@ -491,10 +534,11 @@ def _bwd_kernel(*refs, n_real: int, e_real: int, num_heads: int, head_dim: int,
 
     # --- attention half backward: x1 = x + drop1(Wout·ao + bout)
     da = dx1 * m1_ref[:].astype(jnp.float32).reshape(rows, e_pad) if has_drop else dx1
-    dwout_ref[:] += jax.lax.dot_general(ao, da, (((0,), (0,)), ((), ())),
+    dwout_ref[:] += jax.lax.dot_general(ao.astype(mac_dt), da.astype(mac_dt),
+                                        (((0,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
     dbout_ref[:] += jnp.sum(da, axis=0, keepdims=True)
-    dao = jax.lax.dot_general(da, wout_ref[:].astype(jnp.float32),
+    dao = jax.lax.dot_general(da.astype(mac_dt), wout_ref[:].astype(mac_dt),
                               (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
 
@@ -502,7 +546,7 @@ def _bwd_kernel(*refs, n_real: int, e_real: int, num_heads: int, head_dim: int,
     # softmax weights are rebuilt from it and the saved LSE, flash-style)
     yhat1, rstd1, _ = _ln_stats(x, e_real, eps)
     y1 = _ln_y(yhat1, ln1s_ref, ln1b_ref, emask)
-    qkv = (jnp.dot(y1, wqkv_ref[:].astype(jnp.float32),
+    qkv = (jnp.dot(y1.astype(mac_dt), wqkv_ref[:].astype(mac_dt),
                    preferred_element_type=jnp.float32)
            + bqkv_ref[:].astype(jnp.float32))
 
@@ -522,7 +566,8 @@ def _bwd_kernel(*refs, n_real: int, e_real: int, num_heads: int, head_dim: int,
                       (2 * num_heads + h + 1) * head_dim]
             do_h = dao[base:base + n_pad, h * head_dim:(h + 1) * head_dim]
             ao_h = ao[base:base + n_pad, h * head_dim:(h + 1) * head_dim]
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+            s = jax.lax.dot_general(q.astype(mac_dt), k.astype(mac_dt),
+                                    (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) * inv
             # P from saved LSE; pad KEYS get zero mass, pad QUERY rows carry
             # garbage LSE -> zero the rows (their cotangent is zero anyway,
@@ -530,14 +575,18 @@ def _bwd_kernel(*refs, n_real: int, e_real: int, num_heads: int, head_dim: int,
             p = jnp.exp(jnp.where(key_mask, s, -jnp.inf)
                         - lse_b[h:h + 1, :].reshape(n_pad, 1))
             p = jnp.where(row_valid, p, 0.0)
-            dv = jax.lax.dot_general(p, do_h, (((0,), (0,)), ((), ())),
+            dv = jax.lax.dot_general(p.astype(mac_dt), do_h.astype(mac_dt),
+                                     (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-            dp = jax.lax.dot_general(do_h, v, (((1,), (1,)), ((), ())),
+            dp = jax.lax.dot_general(do_h.astype(mac_dt), v.astype(mac_dt),
+                                     (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             delta = jnp.sum(do_h * ao_h, axis=-1, keepdims=True)
             ds = p * (dp - delta)
-            dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * inv
-            dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+            dq = jnp.dot(ds.astype(mac_dt), k.astype(mac_dt),
+                         preferred_element_type=jnp.float32) * inv
+            dk = jax.lax.dot_general(ds.astype(mac_dt), q.astype(mac_dt),
+                                     (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32) * inv
             dqkv_ref[base:base + n_pad, h * head_dim:(h + 1) * head_dim] = dq
             dqkv_ref[base:base + n_pad,
@@ -547,10 +596,11 @@ def _bwd_kernel(*refs, n_real: int, e_real: int, num_heads: int, head_dim: int,
                      (2 * num_heads + h + 1) * head_dim] = dv
 
     dqkv = dqkv_ref[:]
-    dwqkv_ref[:] += jax.lax.dot_general(y1, dqkv, (((0,), (0,)), ((), ())),
+    dwqkv_ref[:] += jax.lax.dot_general(y1.astype(mac_dt), dqkv.astype(mac_dt),
+                                        (((0,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
     dbqkv_ref[:] += jnp.sum(dqkv, axis=0, keepdims=True)
-    dy1 = jax.lax.dot_general(dqkv, wqkv_ref[:].astype(jnp.float32),
+    dy1 = jax.lax.dot_general(dqkv.astype(mac_dt), wqkv_ref[:].astype(mac_dt),
                               (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     dln1s_ref[:] += jnp.sum(dy1 * yhat1, axis=0, keepdims=True)
@@ -583,22 +633,14 @@ def fused_encoder_block_bwd(params, g, res, *, num_heads: int, eps: float,
     hd_pad = pads["wqkv"].shape[-1]
     hd_out_pad = pads["wout"].shape[0]
     hidden_pad = pads["w1"].shape[-1]
-    # Scoped-VMEM clamp (see fused_encoder_block): the backward's stack holds
-    # x/go/x1/dx1-sized rows plus FOUR hidden-width intermediates (z1, h1,
-    # dh1, dz1) and the dqkv scratch, all f32 — roughly 3x the saved
-    # forward's per-row cost.  Halve the group until the estimate fits.
-    per_row = 4 * (5 * e_pad + 4 * hidden_pad + 2 * hd_pad)
-    if has_drop:
-        # Calibrated on v5e at deit64 (n_pad 264, e_pad 256, hidden 768,
-        # hd_pad 640): Mosaic's actual stack was 16.09 MB at group 2 =
-        # 31.2 KB/row — the two resident f32 masks plus the de-masking
-        # temporaries cost ~9.4 KB/row over the dropout-free backward.
-        per_row += 4 * 10 * e_pad
-    # one live set of (n_pad, n_pad) f32 score-space temporaries
-    # (s/p/dp/ds + the two iota masks) — see saved_fwd_group
-    score = 24 * n_pad * n_pad
-    while group > 1 and group * n_pad * per_row + score > _VMEM_BUDGET:
-        group //= 2
+    group = saved_bwd_group(group, n_pad, e_pad, hidden_pad, hd_pad,
+                            dropout=has_drop)
+    if group == 0:
+        raise ValueError(
+            f"saved-residual megablock backward cannot fit scoped VMEM even "
+            f"at group=1 (n_pad={n_pad}, e_pad={e_pad}, "
+            f"hidden_pad={hidden_pad}) — route this shape to the standard "
+            f"path (maybe_megablock checks saved_bwd_group)")
     while b_pad % group:  # b_pad was padded with the FORWARD's group
         group //= 2
     gp = jnp.pad(g, ((0, b_pad - b), (0, n_pad - n), (0, e_pad - e)))
@@ -860,6 +902,28 @@ def maybe_megablock(params, x, cfg, rng, train):
     if mode == "off":
         return None
     saved = megablock_bwd_mode() == "saved"
+    if saved:
+        # The saved-residual BACKWARD must also fit scoped VMEM — at hires'
+        # ~1k tokens x hidden 1536 it cannot (saved_bwd_group == 0) even
+        # though the forward fits, and 'on' mode used to route it into a
+        # Mosaic compile failure.  Refuse the pair here, in every mode.
+        n_, e_ = x.shape[1], x.shape[2]
+        h_ = params["msha"]["qkv"].shape[1]
+        dh_ = params["msha"]["qkv"].shape[-1]
+        hidden_ = params["fc1"]["w"].shape[-1]
+        drop_ = train and cfg.dropout > 0.0
+        if saved_bwd_group(1, _ceil_to(n_, 8), _ceil_to(e_, 128),
+                           _ceil_to(hidden_, 128), _ceil_to(3 * h_ * dh_, 128),
+                           dropout=drop_) < 1:
+            if mode == "on":
+                import warnings
+
+                warnings.warn(
+                    f"megablock='on' requested but the saved backward cannot "
+                    f"fit scoped VMEM at N={n_} E={e_} hidden={hidden_}; "
+                    f"falling back to the standard path for this block")
+                return None
+            saved = False  # auto: recompute bwd loses (round-2 A/B) -> below
     if mode == "auto":
         # Measured-win regime only (MEGABLOCK_r03.json): saved-bwd 1.85x at
         # 257 tokens; 0.83-0.95x at 65 tokens.  The >512-token exclusion

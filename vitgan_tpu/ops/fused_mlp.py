@@ -71,6 +71,12 @@ _ACTS = {
 
 def _kernel(x_ref, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
             *, activation: str, eps: float, residual: bool, d_real: int):
+    # MAC dtype discipline (same as ops/attention.py): matmul OPERANDS stay in
+    # the input dtype (bf16 on the production path — full-rate MXU), products
+    # ACCUMULATE in f32 via preferred_element_type.  Forcing f32 operands ran
+    # the MXU at its ~4x-slower f32 rate; the XLA path casts weights to the
+    # activation dtype anyway (models/layers.py linear), so numerics match.
+    mac_dt = x_ref.dtype
     x = x_ref[:].astype(jnp.float32)  # (rows, Dp)
     # LayerNorm over the real features only (padding excluded from statistics).
     dp = x.shape[-1]
@@ -89,10 +95,12 @@ def _kernel(x_ref, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_
     y = y * ln_scale_ref[:].astype(jnp.float32) + ln_bias_ref[:].astype(jnp.float32)
     if d_real != dp:
         y = y * mask
-    h = jnp.dot(y, w1_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
+    h = jnp.dot(y.astype(mac_dt), w1_ref[:].astype(mac_dt),
+                preferred_element_type=jnp.float32)
     h = h + b1_ref[:].astype(jnp.float32)
     h = _ACTS[activation](h)
-    out = jnp.dot(h, w2_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
+    out = jnp.dot(h.astype(mac_dt), w2_ref[:].astype(mac_dt),
+                  preferred_element_type=jnp.float32)
     out = out + b2_ref[:].astype(jnp.float32)
     if residual:
         out = out + x_ref[:].astype(jnp.float32)
