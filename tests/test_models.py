@@ -147,3 +147,63 @@ def test_count_params_positive(rng):
     gan = build_gan(cfg)
     n = count_params(gan.generator_init(rng)["params"])
     assert n > 1000
+
+
+def test_minibatch_std_feature_sees_collapse(rng):
+    """The mbstd scalar separates a homogeneous batch from a diverse one, and
+    contiguous grouping keeps real/fake stats separate under a concatenated
+    [real; fake] forward (train/step.py concat_d)."""
+    from vitgan_tpu.models.vitgan_v2 import minibatch_std_feature
+
+    diverse = jax.random.normal(rng, (8, 16))
+    collapsed = jnp.broadcast_to(diverse[:1], (8, 16))
+    s_div = minibatch_std_feature(diverse, group_size=8)
+    s_col = minibatch_std_feature(collapsed, group_size=8)
+    assert s_div.shape == (8, 1)
+    assert float(s_div[0, 0]) > 0.5
+    assert float(s_col[0, 0]) < 1e-3
+    # concat case: rows 0..7 real (diverse), rows 8..15 fake (collapsed) —
+    # each group's scalar reflects only its own half
+    both = jnp.concatenate([diverse, collapsed], axis=0)
+    s = minibatch_std_feature(both, group_size=8)
+    assert float(s[0, 0]) > 0.5 and float(s[8, 0]) < 1e-3
+
+
+def test_v2_minibatch_std_discriminator_trains(rng):
+    """minibatch_std=True widens the head and the full train step runs."""
+    from vitgan_tpu.train import create_train_state
+    from vitgan_tpu.train.step import make_train_step
+
+    cfg = C.replace(smoke("v2"), **{"v2.minibatch_std": True})
+    gan = build_gan(cfg)
+    dvars = gan.discriminator_init(jax.random.PRNGKey(1))
+    e = cfg.model.embed_dim
+    assert dvars["params"]["head_fc1"]["w"].shape[0] == e + 1
+    state = create_train_state(rng, gan, cfg)
+    step = make_train_step(gan, cfg, donate=False)
+    h, w, c = gan.image_shape
+    real = jnp.zeros((cfg.model.batch_size, h, w, c))
+    state2, m = step(state, real)
+    assert np.isfinite(float(m["d_loss"])) and np.isfinite(float(m["g_loss"]))
+
+
+def test_g_diversity_changes_bce_g_loss(rng):
+    """v2.g_diversity subtracts the diversity bonus from the BCE G loss."""
+    from vitgan_tpu.train import create_train_state
+    from vitgan_tpu.train.step import make_train_step
+
+    base = smoke("v2")
+    h, w, c = base.model.image_size, base.model.image_size, base.model.channels
+    real = jax.random.uniform(jax.random.PRNGKey(3),
+                              (base.model.batch_size, h, w, c)) * 2 - 1
+    losses = {}
+    for gd in (False, True):
+        cfg = C.replace(base, **{"v2.g_diversity": gd,
+                                 "v2.diversity_weight": 0.5})
+        gan = build_gan(cfg)
+        state = create_train_state(rng, gan, cfg)
+        step = make_train_step(gan, cfg, donate=False)
+        _, m = step(state, real)
+        losses[gd] = float(m["g_loss"])
+    # same seed/params, so the two runs differ exactly by the bonus term
+    assert losses[True] < losses[False]

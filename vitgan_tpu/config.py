@@ -187,6 +187,18 @@ class V2Config:
     # metric.  Default only matters when r1_gamma > 0 (off by default).
     r1_interval: int = 16
     diversity_weight: float = 0.1  # ref:src/v2/training.py:88
+    # Apply the diversity bonus to the G loss under bce/mse too (the reference
+    # gates it inside the WGAN path only, ref:src/v2/training.py:85-88).
+    # Beyond-reference anti-mode-collapse knob: round-4 probes measured every
+    # BCE recipe at precision ~0.99 / recall ~0 on the synthetic set.
+    g_diversity: bool = False
+    # Minibatch standard deviation in the ViT discriminator (ProGAN/StyleGAN
+    # technique): per-group CLS-feature std appended as one extra head
+    # feature, so D can SEE a low-diversity batch — samples are otherwise
+    # scored independently and mode collapse is invisible to it.  Group size
+    # 8 keeps the stat within pure-real/pure-fake rows under the train step's
+    # concatenated D forward.  Beyond-reference anti-collapse knob.
+    minibatch_std: bool = False
     instance_noise: float = 0.1  # ref:src/v2/training.py:99
     gen_optim: OptimConfig = field(
         default_factory=lambda: OptimConfig(

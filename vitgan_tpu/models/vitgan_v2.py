@@ -127,8 +127,12 @@ def _encoder_apply(p, x, cfg: V2Config, rng, train):
     return x
 
 
-def vit_init(key, cfg: V2Config, n_classes: int, dtype=jnp.float32) -> Dict[str, Any]:
-    """VisionTransformer params (ref:src/v2/modules.py:202-231)."""
+def vit_init(key, cfg: V2Config, n_classes: int, dtype=jnp.float32,
+             head_extra: int = 0) -> Dict[str, Any]:
+    """VisionTransformer params (ref:src/v2/modules.py:202-231).
+
+    ``head_extra`` widens the classifier head's input by that many features —
+    used by the discriminator's minibatch-std statistic (see vit_apply)."""
     n_patches = (cfg.image_size // cfg.patch_size) ** 2
     patch_dim = cfg.patch_size ** 2 * cfg.channels
     keys = jax.random.split(key, cfg.depth + 5)
@@ -140,9 +144,31 @@ def vit_init(key, cfg: V2Config, n_classes: int, dtype=jnp.float32) -> Dict[str,
                                                   (1, 1, cfg.embed_dim), dtype),
         "blocks": [_encoder_init(keys[3 + i], cfg, dtype) for i in range(cfg.depth)],
         "ln": L.layer_norm_init(cfg.embed_dim, dtype),
-        "head_fc1": L.trunc_normal_init(keys[-2], cfg.embed_dim, cfg.embed_dim, dtype=dtype),
+        "head_fc1": L.trunc_normal_init(keys[-2], cfg.embed_dim + head_extra,
+                                        cfg.embed_dim, dtype=dtype),
         "head_fc2": L.trunc_normal_init(keys[-1], cfg.embed_dim, n_classes, dtype=dtype),
     }
+
+
+def minibatch_std_feature(feats: jnp.ndarray, group_size: int = 8) -> jnp.ndarray:
+    """Per-group batch-std scalar (ProGAN minibatch stddev, CLS-feature form).
+
+    Splits the batch into contiguous groups of ``group_size`` rows, computes
+    the per-feature std across each group, means it to one scalar per group,
+    and broadcasts it back to the rows: (B, E) -> (B, 1).  Contiguous grouping
+    keeps the statistic within pure-real / pure-fake rows under the train
+    step's concatenated [real; fake] D forward (train/step.py concat_d).
+    Collapse becomes VISIBLE to D: a homogeneous fake batch carries a
+    near-zero std feature no real group ever shows.
+    """
+    b, _ = feats.shape
+    g = min(group_size, b)
+    while b % g:
+        g -= 1
+    f = feats.reshape(b // g, g, -1).astype(jnp.float32)
+    std = jnp.sqrt(jnp.var(f, axis=1) + 1e-8)          # (groups, E)
+    s = jnp.mean(std, axis=-1, keepdims=True)          # (groups, 1)
+    return jnp.repeat(s, g, axis=0).astype(feats.dtype)  # (B, 1)
 
 
 def _run_blocks(blocks, x, rngs, cfg: V2Config, train, blocks_runner):
@@ -182,11 +208,17 @@ def vit_encode(params, images, cfg: V2Config, *, rng=None, train=False,
 
 
 def vit_apply(params, images, cfg: V2Config, *, rng=None, train=False,
-              blocks_runner=None) -> jnp.ndarray:
-    """Full ViT: encode then CLS -> Linear -> Tanh -> Linear (ref:src/v2/modules.py:186-199)."""
+              blocks_runner=None, with_mbstd: bool = False) -> jnp.ndarray:
+    """Full ViT: encode then CLS -> Linear -> Tanh -> Linear (ref:src/v2/modules.py:186-199).
+
+    ``with_mbstd`` appends the minibatch-std scalar to the CLS features before
+    the head (requires params built with head_extra=1)."""
     x = vit_encode(params, images, cfg, rng=rng, train=train,
                    blocks_runner=blocks_runner)
-    h = jnp.tanh(L.dense(params["head_fc1"], x[:, 0, :]))
+    cls = x[:, 0, :]
+    if with_mbstd:
+        cls = jnp.concatenate([cls, minibatch_std_feature(cls)], axis=-1)
+    h = jnp.tanh(L.dense(params["head_fc1"], cls))
     return L.dense(params["head_fc2"], h)
 
 
@@ -231,12 +263,15 @@ def generator_apply(variables, z, cfg: V2Config, *, rng=None, train=False,
 
 def discriminator_init(key, cfg: V2Config, dtype=jnp.float32) -> Dict[str, Any]:
     """Plain ViT scoring real/fake with one logit (ref:src/v2/modules.py:375-395,
-    with the 10-class head narrowed to the GAN-coherent single logit)."""
-    return {"params": vit_init(key, cfg, n_classes=1, dtype=dtype), "state": {}}
+    with the 10-class head narrowed to the GAN-coherent single logit).
+    ``cfg.minibatch_std`` widens the head by the batch-std feature."""
+    return {"params": vit_init(key, cfg, n_classes=1, dtype=dtype,
+                               head_extra=1 if cfg.minibatch_std else 0),
+            "state": {}}
 
 
 def discriminator_apply(variables, images, cfg: V2Config, *, rng=None, train=False,
                         update_state: bool = False, blocks_runner=None):
     logits = vit_apply(variables["params"], images, cfg, rng=rng, train=train,
-                       blocks_runner=blocks_runner)
+                       blocks_runner=blocks_runner, with_mbstd=cfg.minibatch_std)
     return logits[:, 0], {}

@@ -188,6 +188,12 @@ def make_raw_train_step(gan: GANBundle, cfg: ExperimentConfig):
                     loss = loss - mcfg.diversity_weight * LO.diversity_loss(fake_img)
             else:
                 loss = LO.g_adversarial_loss(criterion, fake_logits)
+                if getattr(mcfg, "g_diversity", False) and mcfg.diversity_weight > 0:
+                    # Beyond-reference anti-collapse knob (v2.g_diversity):
+                    # the reference gates the diversity bonus inside its dead
+                    # WGAN path only; under BCE the round-4 probes measured
+                    # every recipe at recall ~0 (mode collapse).
+                    loss = loss - mcfg.diversity_weight * LO.diversity_loss(fake_img)
             return loss
 
         g_loss, d_fake_img = jax.value_and_grad(g_image_loss)(fake)
