@@ -74,6 +74,18 @@ RECIPES = {
     # WGAN-GP alternative (the reference's dead-path loss, live here)
     "wgan_gp": _ADAM0 + _lr(2e-4, 2e-4)
     + ["v2.loss=wgan-gp", "run.diff_augment=color,translation"],
+    # --- round-2 arms: every round-1 BCE recipe measured recall ~0 (mode
+    # collapse); these use the structural anti-collapse knobs added in
+    # response (minibatch-std D feature, BCE diversity bonus).
+    "mbstd_r1": _ADAM0 + _lr(2e-4, 2e-4)
+    + ["v2.r1_gamma=0.1", "run.diff_augment=color,translation",
+       "v2.minibatch_std=true"],
+    "mbstd_div_r1": _ADAM0 + _lr(2e-4, 2e-4)
+    + ["v2.r1_gamma=0.1", "run.diff_augment=color,translation",
+       "v2.minibatch_std=true", "v2.g_diversity=true"],
+    "div_r1": _ADAM0 + _lr(2e-4, 2e-4)
+    + ["v2.r1_gamma=0.1", "run.diff_augment=color,translation",
+       "v2.g_diversity=true"],
 }
 
 
