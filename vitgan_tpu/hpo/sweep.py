@@ -155,6 +155,8 @@ def run_sweep(num_trials: int = 10, epochs_per_trial: int = 1, seed: int = 0,
                     f"resume mismatch: recorded trial {i} params "
                     f"{done[i].get('params')} != drawn {trial} — pass the "
                     "original --seed (or point at a fresh sweep dir)")
+            print(f"resume: skipping trial {i} "
+                  f"(recorded fid={done[i].get('fid')})", flush=True)
             continue
         cfg = C.replace(_trial_config(base, trial), run_name=f"trial_{i:03d}")
         trainer = Trainer(cfg, run_base=out_dir, fid_extractor="random_conv")
