@@ -57,7 +57,15 @@ from vitgan_tpu.ops.fused_mlp import _erf_poly, _erf_poly_grad, _gelu_exactish
 # carried).
 import os as _os
 
-_VMEM_LIMIT_BYTES = int(_os.environ.get("VITGAN_MEGABLOCK_VMEM_MB", "48")) * 2**20
+# 48 MB was calibrated for the all-f32 kernels; the input-dtype MAC change
+# keeps bf16 copies of several f32 intermediates live (measured on v5e at
+# deit64: 48.72 MB actual vs the 47.07 MB estimate — a trace-time failure in
+# 'on' mode and, worse, a crash the auto gate's fit check did not predict).
+# 96 MB admits the hires saved pair (fwd group 1 / bwd group 1, measured
+# 1.30-1.34x end-to-end at 1032 tokens, MEGABLOCK_r04.json) while leaving
+# 32 MB of the 128 MB physical VMEM for Mosaic's double-buffered I/O tiles
+# (measured fine at the hires shape, the largest tile set any preset uses).
+_VMEM_LIMIT_BYTES = int(_os.environ.get("VITGAN_MEGABLOCK_VMEM_MB", "96")) * 2**20
 _VMEM_BUDGET = _VMEM_LIMIT_BYTES - 2**19
 
 
@@ -219,6 +227,9 @@ def saved_fwd_group(group: int, n_pad: int, e_pad: int, hidden_pad: int,
     hires' 1032.  Halves the group until the estimate fits the raised
     _VMEM_BUDGET.  Returns 0 when even group=1 cannot fit."""
     per_row = 4 * (3.5 * e_pad + 2 * hidden_pad + 1.5 * hd_pad)
+    # input-dtype MACs keep bf16 copies of the LN outputs, h1 and the
+    # attention buffer live next to their f32 sources (2 bytes each)
+    per_row += 2 * (2 * e_pad + hidden_pad)
     if dropout:
         per_row += 4 * 8 * e_pad
     score = 16 * n_pad * n_pad  # 4 live (n_pad, n_pad) f32 buffers
@@ -237,6 +248,9 @@ def saved_bwd_group(group: int, n_pad: int, e_pad: int, hidden_pad: int,
     f32 intermediates (z1, h1, dh1, dz1) and the dqkv scratch — ~3x the saved
     forward's per-row cost (calibrated at deit64, round 3)."""
     per_row = 4 * (5 * e_pad + 4 * hidden_pad + 2 * hd_pad)
+    # input-dtype MACs: bf16 operand copies (see saved_fwd_group) — the
+    # backward casts more operands (h1/dmlp/y2/dz1, ao/da, y1/dqkv)
+    per_row += 2 * (2 * e_pad + 2 * hidden_pad + hd_pad)
     if dropout:
         # Calibrated on v5e at deit64 (n_pad 264, e_pad 256, hidden 768,
         # hd_pad 640): Mosaic's actual stack was 16.09 MB at group 2 =
@@ -925,16 +939,18 @@ def maybe_megablock(params, x, cfg, rng, train):
                 return None
             saved = False  # auto: recompute bwd loses (round-2 A/B) -> below
     if mode == "auto":
-        # Measured-win regime only (MEGABLOCK_r03.json): saved-bwd 1.85x at
-        # 257 tokens; 0.83-0.95x at 65 tokens.  The >512-token exclusion
-        # keeps hires (~1k tokens) on the tuned flash-attention path: the
-        # VMEM clamp formulas are calibrated at ~264 tokens and the
-        # megablock is unmeasured there (MEGABLOCK_HIRES_r04 pending).
-        # The win was measured with the saved backward — the recompute
-        # backward LOST end-to-end (round-2 A/B), so megablock_bwd=
-        # 'recompute' (the escape hatch from the saved kernels) falls back
-        # to the standard path entirely under auto.  Real TPU only — the
-        # interpret-mode kernel is for parity tests, not speed.
+        # Measured-win regime only: saved-bwd 1.83-1.88x at 257 tokens
+        # (MEGABLOCK_r03/r04), 1.30-1.34x at 1032 tokens under the 96 MB
+        # scoped limit (MEGABLOCK_r04.json — both hires presets are 1032
+        # tokens); 0.83-0.95x at 65 tokens.  The 1056-token cap bounds auto
+        # to the measured range; beyond it flash attention owns the regime
+        # until someone measures further.  The win was measured with the
+        # saved backward — the recompute backward LOST end-to-end (round-2
+        # A/B), so megablock_bwd='recompute' (the escape hatch from the
+        # saved kernels) falls back to the standard path entirely under
+        # auto.  Real TPU only — the interpret-mode kernel is for parity
+        # tests, not speed.  Both VMEM clamps must fit (the bwd check above
+        # already cleared `saved`; fwd checked here).
         n, e = x.shape[1], x.shape[2]
         h = params["msha"]["qkv"].shape[1]
         dh = params["msha"]["qkv"].shape[-1]
@@ -943,7 +959,7 @@ def maybe_megablock(params, x, cfg, rng, train):
                                _ceil_to(hidden, 128),
                                _ceil_to(3 * h * dh, 128),
                                dropout=train and cfg.dropout > 0.0) >= 1
-        if not saved or not 128 <= n <= 512 or not fits or not on_tpu():
+        if not saved or not 128 <= n <= 1056 or not fits or not on_tpu():
             return None
     if train and cfg.dropout > 0.0:
         if rng is None or not on_tpu():
