@@ -142,12 +142,27 @@ def main() -> int:
         return _runner(args.run_child)
 
     t0 = time.time()
+
+    def _wait(p, lf):
+        """Bounded wait that converts a hang into an rc instead of an
+        uncaught TimeoutExpired (which would unwind main() without writing
+        the artifact and leave sibling workers orphaned — e.g. a worker
+        blocked forever in jax.distributed.initialize after the coordinator
+        died at startup)."""
+        try:
+            rc = p.wait(timeout=1200)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.wait()
+            rc = -9
+        lf.close()
+        return rc
+
     # Reference: ONE process, 8 virtual devices.
     ref_out = "/tmp/mp_ref.json"
     p, lf = _spawn({"XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
                    ref_out, "/tmp/mp_ref.log")
-    rc_ref = p.wait(timeout=1200)
-    lf.close()
+    rc_ref = _wait(p, lf)
 
     # Distributed: TWO processes x 4 virtual devices, localhost coordinator.
     port = _free_port()
@@ -159,10 +174,7 @@ def main() -> int:
              "COORDINATOR_ADDRESS": f"localhost:{port}",
              "NUM_PROCESSES": "2", "PROCESS_ID": str(pid)},
             dist_out, f"/tmp/mp_dist{pid}.log"))
-    rcs = []
-    for p, lf in procs:
-        rcs.append(p.wait(timeout=1200))
-        lf.close()
+    rcs = [_wait(p, lf) for p, lf in procs]
 
     ref = json.load(open(ref_out)) if rc_ref == 0 else None
     dist = json.load(open(dist_out)) if all(r == 0 for r in rcs) else None

@@ -86,6 +86,11 @@ RECIPES = {
     "div_r1": _ADAM0 + _lr(2e-4, 2e-4)
     + ["v2.r1_gamma=0.1", "run.diff_augment=color,translation",
        "v2.g_diversity=true"],
+    # wgan_gp was the round-1 winner (precision 0.93 / recall 0.24 — the only
+    # recipe with nonzero coverage); minibatch-std should push recall further
+    "wgan_mbstd": _ADAM0 + _lr(2e-4, 2e-4)
+    + ["v2.loss=wgan-gp", "run.diff_augment=color,translation",
+       "v2.minibatch_std=true"],
 }
 
 
@@ -96,7 +101,11 @@ def run(cmd, log_path):
 
 
 def tail_metrics(run_dir, tags, n=5):
-    """Mean of the last n values of each train/<tag> in scalars.jsonl."""
+    """Mean of the last n values of each train/<tag> in scalars.jsonl —
+    except ``collapse``, which reports the MAX over the whole run: a
+    collapse_abort run logs exactly one 1.0 before stopping, so a tail mean
+    can never reach the old >=1.0 test (round-4 review finding: every
+    actually-collapsed probe read collapsed=False)."""
     path = os.path.join(run_dir, "logs", "scalars.jsonl")
     vals = {t: [] for t in tags}
     try:
@@ -111,8 +120,11 @@ def tail_metrics(run_dir, tags, n=5):
                     vals[t].append(r["value"])
     except OSError:
         pass
-    return {t: (round(sum(v[-n:]) / len(v[-n:]), 4) if v else None)
-            for t, v in vals.items()}
+    out = {t: (round(sum(v[-n:]) / len(v[-n:]), 4) if v else None)
+           for t, v in vals.items()}
+    if vals.get("collapse"):
+        out["collapse"] = round(max(vals["collapse"]), 4)
+    return out
 
 
 def probe(name, sets, args):
@@ -147,8 +159,10 @@ def probe(name, sets, args):
 
 
 def scratch():
-    return os.environ.get("SCRATCH",
-                          os.path.join(os.path.expanduser("~"), ".vitgan_tpu"))
+    sys.path.insert(0, REPO)
+    from vitgan_tpu.config import scratch_root  # canonical SCRATCH contract
+
+    return scratch_root()
 
 
 def main():

@@ -167,11 +167,16 @@ def analyze(recs, boundaries, loss_band):
     tail = 10
     accs = [0.5 * (a + b) for a, b in zip(acc_r, acc_f)][-tail:]
     collapse_flags = [r["value"] for r in recs if r["tag"] == "train/collapse"]
+    # ANY tripped flag counts: the trainer re-logs 0.0 the first epoch the
+    # accuracy dips, so checking only the LAST flag would let a run that sat
+    # collapsed for most of the soak read healthy after one final-epoch
+    # wobble (round-4 review finding — the exact VERDICT-r3 failure again).
     collapsed = bool(accs and min(accs) >= 0.98) or bool(
-        collapse_flags and collapse_flags[-1] >= 1.0)
+        collapse_flags and max(collapse_flags) >= 1.0)
     dynamics = {
         "d_acc_tail_min": round(min(accs), 4) if accs else None,
         "d_acc_tail_mean": round(sum(accs) / len(accs), 4) if accs else None,
+        "collapse_flag_ever": bool(collapse_flags and max(collapse_flags) >= 1.0),
         "collapsed": collapsed,
         "verdict": "collapsed" if collapsed else "healthy",
     }

@@ -26,8 +26,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def scratch():
-    return os.environ.get("SCRATCH",
-                          os.path.join(os.path.expanduser("~"), ".vitgan_tpu"))
+    sys.path.insert(0, REPO)
+    from vitgan_tpu.config import scratch_root  # canonical SCRATCH contract
+
+    return scratch_root()
 
 
 def worker_cmd(offset, num_trials, epochs, seed, resume=False):
@@ -49,14 +51,6 @@ def spawn(offset, args, resume=False, tag=""):
                                     args.seed, resume),
                          cwd=REPO, stdout=lf, stderr=subprocess.STDOUT)
     return p, lf, log
-
-
-def count_trials(log_path):
-    try:
-        with open(log_path) as f:
-            return sum(1 for line in f if line.strip())
-    except OSError:
-        return 0
 
 
 def main():

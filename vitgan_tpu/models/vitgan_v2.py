@@ -162,8 +162,15 @@ def minibatch_std_feature(feats: jnp.ndarray, group_size: int = 8) -> jnp.ndarra
     near-zero std feature no real group ever shows.
     """
     b, _ = feats.shape
-    g = min(group_size, b)
-    while b % g:
+    # g must divide the HALF batch, not just the batch: the concatenated
+    # [real; fake] forward has its boundary at b//2, and a group straddling
+    # it would mix the two distributions (leaking group membership and
+    # masking collapsed fakes behind real-row variance).  g | b//2 => g | b,
+    # and it keeps every group boundary-aligned; fake-only forwards (the G
+    # update) just get slightly smaller groups.
+    half = b // 2 if b % 2 == 0 else b
+    g = max(1, min(group_size, half))
+    while half % g:
         g -= 1
     f = feats.reshape(b // g, g, -1).astype(jnp.float32)
     std = jnp.sqrt(jnp.var(f, axis=1) + 1e-8)          # (groups, E)

@@ -332,14 +332,18 @@ def fused_encoder_block(x, params, *, num_heads: int, eps: float = 1e-5,
     e_pad = _ceil_to(e, 128)
     hd_pad = _ceil_to(3 * h * dh, 128)
     hidden_pad = _ceil_to(hidden, 128)
-    if want_residuals:
-        group = saved_fwd_group(group, n_pad, e_pad, hidden_pad, hd_pad,
-                                dropout=rate > 0.0)
-        if group == 0:
-            raise ValueError(
-                f"saved-residual megablock forward cannot fit scoped VMEM "
-                f"even at group=1 (n_pad={n_pad}, e_pad={e_pad}, "
-                f"hidden_pad={hidden_pad}) — use the recompute backward")
+    # Clamp the group on BOTH forward flavors: the plain (recompute-bwd)
+    # kernel's stack is smaller than the saved one's, so the saved clamp is a
+    # conservative bound for it — without it, megablock='on' with
+    # megablock_bwd='recompute' at hires-scale shapes compiled a group-8
+    # kernel straight into a Mosaic scoped-VMEM failure.
+    group = saved_fwd_group(group, n_pad, e_pad, hidden_pad, hd_pad,
+                            dropout=rate > 0.0)
+    if group == 0:
+        raise ValueError(
+            f"megablock forward cannot fit scoped VMEM even at group=1 "
+            f"(n_pad={n_pad}, e_pad={e_pad}, hidden_pad={hidden_pad}) — "
+            f"use the standard (non-megablock) path for this shape")
     b_pad = _ceil_to(b, group)
 
     xp = jnp.pad(x, ((0, b_pad - b), (0, n_pad - n), (0, e_pad - e)))
