@@ -91,6 +91,17 @@ RECIPES = {
     "wgan_mbstd": _ADAM0 + _lr(2e-4, 2e-4)
     + ["v2.loss=wgan-gp", "run.diff_augment=color,translation",
        "v2.minibatch_std=true"],
+    # --- round-3 arms: recall-targeted (the 200/400-epoch runs show recall
+    # saturating ~0.14-0.19 while precision keeps rising — coverage, not
+    # fidelity, is the remaining gap)
+    "wgan_div5": _ADAM0 + _lr(2e-4, 2e-4)
+    + ["v2.loss=wgan-gp", "run.diff_augment=color,translation",
+       "v2.diversity_weight=0.5"],
+    "wgan_lat256": _ADAM0 + _lr(2e-4, 2e-4)
+    + ["v2.loss=wgan-gp", "run.diff_augment=color,translation",
+       "v2.latent_dim=256"],
+    "wgan_weakD": _ADAM0 + _lr(2e-4, 1e-4)
+    + ["v2.loss=wgan-gp", "run.diff_augment=color,translation"],
 }
 
 
