@@ -144,20 +144,23 @@ def test_megablock_auto_gate(rng, monkeypatch):
     from vitgan_tpu.ops import fused_block as FB
     from vitgan_tpu.ops.policy import set_policy
 
-    routed = []
+    routed_saved, routed_plain = [], []
     real_saved = FB.encoder_block_fused_saved
+    real_plain = FB.encoder_block_fused
 
-    def spy(x, params, *a, **k):
-        routed.append(x.shape)
-        return real_saved(x, params, *a, **k)
-
-    monkeypatch.setattr(FB, "encoder_block_fused_saved", spy)
     monkeypatch.setattr("vitgan_tpu.ops.policy.on_tpu", lambda: True)
     # on_tpu=True makes maybe_megablock pass interpret=False; re-fake the
-    # kernel wrapper too so the CPU test still executes (interpret mode)
+    # kernel wrappers so the CPU test still executes (interpret mode)
     monkeypatch.setattr(
         FB, "encoder_block_fused_saved",
-        lambda x, p, h, eps, g, interp, bg=2: spy(x, p, h, eps, g, True, bg))
+        lambda x, p, h, eps, g, interp, bg=2: (
+            routed_saved.append(x.shape),
+            real_saved(x, p, h, eps, g, True, bg))[1])
+    monkeypatch.setattr(
+        FB, "encoder_block_fused",
+        lambda x, p, h, eps, g, interp: (
+            routed_plain.append(x.shape),
+            real_plain(x, p, h, eps, g, True))[1])
 
     cfg_small = V2Config(image_size=16, patch_size=4, embed_dim=32,
                          num_heads=2, mlp_ratio=2, dropout=0.0)
@@ -168,14 +171,22 @@ def test_megablock_auto_gate(rng, monkeypatch):
         p_small = _encoder_init(rng, cfg_small)
         x_small = jax.random.normal(jax.random.PRNGKey(1), (2, 17, 32))
         _encoder_apply(p_small, x_small, cfg_small, None, False)
-        assert routed == []  # 17 tokens: below the auto threshold
+        assert routed_saved == routed_plain == []  # 17 tokens: below threshold
 
         p_big = _encoder_init(rng, cfg_big)
         x_big = jax.random.normal(jax.random.PRNGKey(2), (2, 257, 64))
+        # inference: the residual-free forward (saved would write residual
+        # tiles nobody reads — round-4 routing change)
         out = _encoder_apply(p_big, x_big, cfg_big, None, False)
-        assert routed == [(2, 257, 64)]  # 257 tokens: routed, saved bwd
+        assert routed_plain == [(2, 257, 64)] and routed_saved == []
         want = _block_reference(x_big, p_big, cfg_big.num_heads, 1e-5)
         np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+        # training (dropout 0): the saved-backward kernel
+        out_t = _encoder_apply(p_big, x_big, cfg_big, jax.random.PRNGKey(3),
+                               True)
+        assert routed_saved == [(2, 257, 64)]
+        np.testing.assert_allclose(np.asarray(out_t), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
     finally:
         set_policy(megablock="auto")
@@ -248,20 +259,32 @@ def test_megablock_auto_honors_bwd_knob(rng, monkeypatch):
     routed = []
     monkeypatch.setattr(
         FB, "encoder_block_fused_saved",
-        lambda x, *a, **k: routed.append(x.shape) or x)
+        lambda x, *a, **k: routed.append(("saved", x.shape)) or x)
+    monkeypatch.setattr(
+        FB, "encoder_block_fused",
+        lambda x, *a, **k: routed.append(("plain", x.shape)) or x)
     monkeypatch.setattr("vitgan_tpu.ops.policy.on_tpu", lambda: True)
 
     cfg = V2Config(image_size=64, patch_size=4, embed_dim=64, num_heads=2,
                    mlp_ratio=2, dropout=0.0)
     params = _encoder_init(rng, cfg)
     x = jax.random.normal(jax.random.PRNGKey(2), (2, 257, 64))
+    k = jax.random.PRNGKey(3)
     try:
+        # escape hatch honored under auto at TRAINING: no megablock routing
+        # (the recompute backward measured a loss, round-2 A/B)
         set_policy(megablock="auto", megablock_bwd="recompute")
-        _encoder_apply(params, x, cfg, None, False)
-        assert routed == []  # escape hatch honored: no megablock routing
+        _encoder_apply(params, x, cfg, k, True)
+        assert routed == []
         set_policy(megablock_bwd="saved")
+        _encoder_apply(params, x, cfg, k, True)
+        assert routed == [("saved", (2, 257, 64))]
+        # at INFERENCE the bwd knob is irrelevant: the residual-free forward
+        # routes under either setting (round-4 routing change)
+        routed.clear()
+        set_policy(megablock_bwd="recompute")
         _encoder_apply(params, x, cfg, None, False)
-        assert routed == [(2, 257, 64)]
+        assert routed == [("plain", (2, 257, 64))]
     finally:
         set_policy(megablock="auto", megablock_bwd="saved")
 

@@ -920,6 +920,12 @@ def maybe_megablock(params, x, cfg, rng, train):
     if mode == "off":
         return None
     saved = megablock_bwd_mode() == "saved"
+    if not train:
+        # Inference (serving/eval/sampling): no backward will run, so the
+        # saved variant would write x1/z1/ao/LSE residual tiles nobody reads
+        # (a pallas_call's outputs cannot be DCE'd).  Route the residual-free
+        # forward; its recompute VJP never executes.
+        saved = False
     if saved:
         # The saved-residual BACKWARD must also fit scoped VMEM — at hires'
         # ~1k tokens x hidden 1536 it cannot (saved_bwd_group == 0) even
@@ -963,7 +969,10 @@ def maybe_megablock(params, x, cfg, rng, train):
                                _ceil_to(hidden, 128),
                                _ceil_to(3 * h * dh, 128),
                                dropout=train and cfg.dropout > 0.0) >= 1
-        if not saved or not 128 <= n <= 1056 or not fits or not on_tpu():
+        # `saved` is required for TRAINING routes only (the recompute bwd
+        # lost); at inference the plain forward carries the win by itself.
+        if not (saved or not train) or not 128 <= n <= 1056 or not fits \
+                or not on_tpu():
             return None
     if train and cfg.dropout > 0.0:
         if rng is None or not on_tpu():
