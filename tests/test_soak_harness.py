@@ -116,3 +116,44 @@ def test_dynamics_verdict_trusts_trainer_flag(soak):
     recs.append({"tag": "train/collapse", "step": 200, "value": 1.0})
     summary, _, _ = soak.analyze(recs, [], loss_band=0.5)
     assert summary["dynamics"]["collapsed"]
+
+
+def test_dynamics_verdict_any_flag_counts(soak):
+    """A collapse flag ANYWHERE in the trajectory trips the verdict, even if
+    the final epoch logged 0.0 again (the detector resets on one accuracy
+    wobble) — checking only the LAST flag let a mostly-collapsed soak read
+    healthy (round-4 review finding)."""
+    g = [(100, 0.7), (200, 0.7), (300, 0.7)]
+    recs = _recs_with_acc(g, 0.5)
+    recs.append({"tag": "train/collapse", "step": 150, "value": 1.0})
+    recs.append({"tag": "train/collapse", "step": 300, "value": 0.0})
+    summary, _, _ = soak.analyze(recs, [], loss_band=0.5)
+    assert summary["dynamics"]["collapsed"]
+    assert summary["dynamics"]["collapse_flag_ever"]
+
+
+def test_recipe_probe_collapse_is_max_not_tail_mean(tmp_path):
+    """recipe_probe's tail_metrics reports the MAX collapse flag over the run:
+    a collapse_abort run logs exactly one 1.0 before stopping, which a tail
+    mean can never surface (round-4 review finding)."""
+    import importlib.util
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "scripts", "recipe_probe.py")
+    spec = importlib.util.spec_from_file_location("recipe_probe", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    recs = [{"tag": "train/d_loss", "step": s, "value": 1.0} for s in range(6)]
+    recs += [{"tag": "train/collapse", "step": s, "value": 0.0} for s in range(5)]
+    recs.append({"tag": "train/collapse", "step": 5, "value": 1.0})  # abort epoch
+    with open(logs / "scalars.jsonl", "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    tail = mod.tail_metrics(str(tmp_path), ["d_loss", "collapse"])
+    assert tail["collapse"] == 1.0  # max, not the 0.2 tail mean
+    assert tail["d_loss"] == 1.0
