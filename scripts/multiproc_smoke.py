@@ -68,6 +68,11 @@ def _runner(out_path: str) -> int:
     cfg = C.replace(cfg, **{"v2.batch_size": 16,
                             "runtime.prng_impl": "threefry2x32",
                             "data.on_device": False})
+    if os.environ.get("MP_SMOKE_TP") == "1":
+        # TP variant: the model axis spans devices owned by BOTH processes,
+        # so GSPMD's TP collectives (qkv/MLP all-reduces) cross the process
+        # boundary — a strictly stronger claim than DP-only parity.
+        cfg = C.replace(cfg, **{"mesh.model_parallel": 2})
     apply_from_runtime(cfg.runtime)
     mesh = make_mesh(cfg.mesh)
     gan = build_gan(cfg)
@@ -158,57 +163,65 @@ def main() -> int:
         lf.close()
         return rc
 
-    # Reference: ONE process, 8 virtual devices.
-    ref_out = "/tmp/mp_ref.json"
-    p, lf = _spawn({"XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
-                   ref_out, "/tmp/mp_ref.log")
-    rc_ref = _wait(p, lf)
+    def phase(tag, extra_env):
+        """One parity experiment: single-process 8-device reference vs
+        2-process x 4-device distributed run of the identical program."""
+        ref_out = f"/tmp/mp_ref_{tag}.json"
+        p, lf = _spawn({"XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+                        **extra_env}, ref_out, f"/tmp/mp_ref_{tag}.log")
+        rc_ref = _wait(p, lf)
+        port = _free_port()
+        dist_out = f"/tmp/mp_dist_{tag}.json"
+        procs = []
+        for pid in range(2):
+            procs.append(_spawn(
+                {"XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+                 "COORDINATOR_ADDRESS": f"localhost:{port}",
+                 "NUM_PROCESSES": "2", "PROCESS_ID": str(pid),
+                 **extra_env},
+                dist_out, f"/tmp/mp_dist{pid}_{tag}.log"))
+        rcs = [_wait(p, lf) for p, lf in procs]
+        ref = json.load(open(ref_out)) if rc_ref == 0 else None
+        dist = json.load(open(dist_out)) if all(r == 0 for r in rcs) else None
+        parity = []
+        ok = bool(ref and dist
+                  and dist["process_count"] == 2
+                  and dist["device_count"] == 8
+                  and dist["local_device_count"] == 4
+                  and dist["distributed_initialized"]
+                  and len(ref["losses"]) == len(dist["losses"]) == N_STEPS)
+        if ok:
+            for i, (a, b) in enumerate(zip(ref["losses"], dist["losses"])):
+                for k in ("d_loss", "g_loss"):
+                    rel = abs(a[k] - b[k]) / max(abs(a[k]), 1e-9)
+                    parity.append({"step": i, "metric": k,
+                                   "single_proc": a[k], "two_proc": b[k],
+                                   "rel_err": rel})
+            ok = all(p["rel_err"] <= args.tol for p in parity)
+        return {"ref_rc": rc_ref, "dist_rcs": rcs, "single_proc": ref,
+                "two_proc": dist, "parity": parity, "ok": ok}
 
-    # Distributed: TWO processes x 4 virtual devices, localhost coordinator.
-    port = _free_port()
-    dist_out = "/tmp/mp_dist.json"
-    procs = []
-    for pid in range(2):
-        procs.append(_spawn(
-            {"XLA_FLAGS": "--xla_force_host_platform_device_count=4",
-             "COORDINATOR_ADDRESS": f"localhost:{port}",
-             "NUM_PROCESSES": "2", "PROCESS_ID": str(pid)},
-            dist_out, f"/tmp/mp_dist{pid}.log"))
-    rcs = [_wait(p, lf) for p, lf in procs]
-
-    ref = json.load(open(ref_out)) if rc_ref == 0 else None
-    dist = json.load(open(dist_out)) if all(r == 0 for r in rcs) else None
-    parity = []
-    ok = bool(ref and dist
-              and dist["process_count"] == 2
-              and dist["device_count"] == 8
-              and dist["local_device_count"] == 4
-              and dist["distributed_initialized"]
-              and len(ref["losses"]) == len(dist["losses"]) == N_STEPS)
-    if ok:
-        for i, (a, b) in enumerate(zip(ref["losses"], dist["losses"])):
-            for k in ("d_loss", "g_loss"):
-                rel = abs(a[k] - b[k]) / max(abs(a[k]), 1e-9)
-                parity.append({"step": i, "metric": k,
-                               "single_proc": a[k], "two_proc": b[k],
-                               "rel_err": rel})
-        ok = all(p["rel_err"] <= args.tol for p in parity)
+    # DP: batch sharded over all 8 devices.  TP: model axis 2, spanning
+    # devices owned by BOTH processes — GSPMD's TP collectives cross the
+    # process boundary.
+    dp = phase("dp", {})
+    tp = phase("tp", {"MP_SMOKE_TP": "1"})
+    ok = dp["ok"] and tp["ok"]
     out = {
         "what": "real 2-process jax.distributed smoke: localhost coordinator, "
-                "2 procs x 4 CPU devices, DP train step, loss parity vs "
-                "single-process 8-device run",
-        "ref_rc": rc_ref, "dist_rcs": rcs,
-        "single_proc": ref, "two_proc": dist,
-        "parity": parity, "tol": args.tol,
+                "2 procs x 4 CPU devices, DP and DPxTP train steps, loss "
+                "parity vs single-process 8-device runs",
+        "dp": dp, "tp": tp, "tol": args.tol,
         "wall_s": round(time.time() - t0, 1),
         "ok": ok,
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
-    print(json.dumps({"ok": ok, "parity": parity,
-                      "two_proc_topology": None if not dist else
-                      {k: dist[k] for k in ("process_count", "device_count",
-                                            "local_device_count")}}))
+    print(json.dumps({
+        "ok": ok,
+        "dp_max_rel_err": max((p["rel_err"] for p in dp["parity"]), default=None),
+        "tp_max_rel_err": max((p["rel_err"] for p in tp["parity"]), default=None),
+    }))
     return 0 if ok else 1
 
 
