@@ -102,6 +102,16 @@ RECIPES = {
        "v2.latent_dim=256"],
     "wgan_weakD": _ADAM0 + _lr(2e-4, 1e-4)
     + ["v2.loss=wgan-gp", "run.diff_augment=color,translation"],
+    # --- round-4 arms: the weak-D TTUR winner (recall 0.27 @40ep, 0.41
+    # @200ep) probed along its own axis — how weak can D go, and does the
+    # explicit diversity bonus compose with the TTUR balance?
+    "wgan_weakD2": _ADAM0 + _lr(2e-4, 5e-5)
+    + ["v2.loss=wgan-gp", "run.diff_augment=color,translation"],
+    "wgan_weakD_div5": _ADAM0 + _lr(2e-4, 1e-4)
+    + ["v2.loss=wgan-gp", "run.diff_augment=color,translation",
+       "v2.diversity_weight=0.5"],
+    "wgan_strongG": _ADAM0 + _lr(3e-4, 1e-4)
+    + ["v2.loss=wgan-gp", "run.diff_augment=color,translation"],
 }
 
 
