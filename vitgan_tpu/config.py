@@ -140,7 +140,20 @@ class V1Config:
     seed: int = 0
     generator: GeneratorV1Config = field(default_factory=GeneratorV1Config)
     discriminator: DiscriminatorV1Config = field(default_factory=DiscriminatorV1Config)
-    loss: str = "bce"  # bce | mse (criterion picker, ref:src/v1/gan.py:16-20)
+    # bce | mse (criterion picker, ref:src/v1/gan.py:16-20) | wgan-gp (the
+    # v2 dead-path loss ref:src/v2/training.py:67-125, available on the v1
+    # family too so the paper architecture can train with the recipe the
+    # round-4 probes measured as the only converging one).
+    loss: str = "bce"
+    # WGAN-GP / stabilizer knobs, same semantics as V2Config (the train step
+    # is family-generic, train/step.py reads these off whichever family's
+    # model config is active).  Defaults mirror V2Config.
+    gp_lambda: float = 10.0
+    instance_noise: float = 0.1  # ref:src/v2/training.py:99
+    diversity_weight: float = 0.1  # ref:src/v2/training.py:88
+    g_diversity: bool = False
+    r1_gamma: float = 0.0
+    r1_interval: int = 16
 
 
 # ---------------------------------------------------------------------------
