@@ -61,6 +61,7 @@ def _runner(out_path: str) -> int:
     from vitgan_tpu.train.state import create_train_state
     from vitgan_tpu.train.step import make_train_step
 
+    mode = os.environ.get("MP_SMOKE_MODE", "dp")  # dp | tp | fsdp | pp
     cfg = C.smoke_config("v2")
     # threefry: sharding-invariant random bits, so the 1-process and
     # 2-process programs draw identical noise/dropout (rbg's partitionable
@@ -68,34 +69,95 @@ def _runner(out_path: str) -> int:
     cfg = C.replace(cfg, **{"v2.batch_size": 16,
                             "runtime.prng_impl": "threefry2x32",
                             "data.on_device": False})
-    if os.environ.get("MP_SMOKE_TP") == "1":
+    if mode == "tp":
         # TP variant: the model axis spans devices owned by BOTH processes,
         # so GSPMD's TP collectives (qkv/MLP all-reduces) cross the process
         # boundary — a strictly stronger claim than DP-only parity.
         cfg = C.replace(cfg, **{"mesh.model_parallel": 2})
+    if mode == "pp":
+        # PP runs float32 with dropout off: bf16 PP hits the XLA:CPU
+        # AllReducePromotion abort (scripts/repro_xla_allreduce_bug.py) and
+        # shard_map dropout keys differ from the sequential stack's.
+        cfg = C.replace(cfg, **{"v2.dropout": 0.0,
+                                "runtime.compute_dtype": "float32"})
     apply_from_runtime(cfg.runtime)
-    mesh = make_mesh(cfg.mesh)
-    gan = build_gan(cfg)
+
+    if mode == "pp":
+        # Pipeline parallelism with the PIPE AXIS SPANNING THE PROCESS
+        # BOUNDARY (VERDICT r4 #7): devices are laid out so stage s of every
+        # pipeline ring lives on process s — jax.devices() orders process 0's
+        # 4 devices first, so reshape(2, 4).T puts (devices[d], devices[d+4])
+        # in each pipe pair and every ppermute hop crosses processes.  The
+        # default make_mesh layout would keep both stages process-local.
+        from jax.sharding import Mesh
+
+        from vitgan_tpu.parallel.pipeline import pp_bundle
+
+        devs = np.array(jax.devices()).reshape(-1, 4).T  # (data=4, pipe=nproc)
+        mesh = Mesh(devs.reshape(4, 1, -1), axis_names=("data", "model", "pipe"))
+        gan = pp_bundle(build_gan(cfg), cfg, mesh=mesh, axis="pipe",
+                        microbatches=2, dp_axis="data")
+    else:
+        mesh = make_mesh(cfg.mesh)
+        gan = build_gan(cfg)
     state = create_train_state(jax.random.PRNGKey(0), gan, cfg)
-    # Replicate over the GLOBAL mesh from host values: every process computes
-    # the identical init (same key), and device_put of host arrays to a
-    # multi-process sharding is the standard replication incantation.
-    repl = NamedSharding(mesh, P())
-    state = jax.tree.map(lambda x: jax.device_put(np.asarray(x), repl), state)
-    pipeline = make_pipeline(cfg.data, cfg.model.batch_size,
-                             cfg.model.image_size, cfg.model.channels,
-                             mesh=mesh, seed=0,
-                             synthetic_samples=cfg.data.synthetic_samples)
-    step = make_train_step(gan, cfg, donate=False)
+    # Place over the GLOBAL mesh from host values: every process computes
+    # the identical init, and device_put of host arrays to a multi-process
+    # sharding is the standard placement incantation (each process
+    # contributes only its addressable shards).
+    state_shardings = None
+    if mode == "fsdp":
+        # ZeRO placement across the process boundary: params + optimizer
+        # moments shard over data=8 (4 devices per process), exercising
+        # device_put-to-global-FSDP-shardings and the per-use all-gathers /
+        # grad reduce-scatters GSPMD inserts ACROSS processes.
+        from vitgan_tpu.parallel.sharding import shard_train_state
+
+        state = shard_train_state(jax.tree.map(np.asarray, state), mesh,
+                                  fsdp=True, fsdp_min_size=256)
+        specs = [x.sharding.spec for x in jax.tree.leaves(state.g_params)]
+        assert any("data" in (sp or ()) for sp in specs), (
+            "FSDP smoke is vacuous: no generator leaf sharded over data")
+        # Pin output placements so the update doesn't re-replicate leaves
+        # (train/step._pin_state contract, same as the trainer wiring).
+        state_shardings = jax.tree.map(lambda x: x.sharding, state)
+    else:
+        repl = NamedSharding(mesh, P())
+        state = jax.tree.map(lambda x: jax.device_put(np.asarray(x), repl), state)
+    step = make_train_step(gan, cfg, donate=False,
+                           state_shardings=state_shardings)
     losses = []
-    it = pipeline.epoch()
-    for i, (real, _labels) in enumerate(it):
-        if i >= N_STEPS:
-            break
-        state, m = step(state, real)
-        # d/g losses are replicated scalars: readable on every process.
-        losses.append({"d_loss": float(np.asarray(m["d_loss"])),
-                       "g_loss": float(np.asarray(m["g_loss"]))})
+    if mode == "pp":
+        # Host-fed deterministic batches: the DP/TP/FSDP phases already
+        # exercise the per-process data pipeline; this phase targets the
+        # cross-process ppermute ring, and the pipe-transposed mesh breaks
+        # the pipeline's contiguous-slice assumption (every process
+        # addresses ALL batch shards), so each process feeds the identical
+        # global batch and device_put places its local shards.
+        rng = np.random.default_rng(7)
+        mcfg = cfg.model
+        batch_sh = NamedSharding(mesh, P("data", None, None, None))
+        for i in range(N_STEPS):
+            real = jax.device_put(
+                rng.uniform(-1, 1, (mcfg.batch_size, mcfg.image_size,
+                                    mcfg.image_size, mcfg.channels)
+                            ).astype(np.float32), batch_sh)
+            state, m = step(state, real)
+            losses.append({"d_loss": float(np.asarray(m["d_loss"])),
+                           "g_loss": float(np.asarray(m["g_loss"]))})
+    else:
+        pipeline = make_pipeline(cfg.data, cfg.model.batch_size,
+                                 cfg.model.image_size, cfg.model.channels,
+                                 mesh=mesh, seed=0,
+                                 synthetic_samples=cfg.data.synthetic_samples)
+        it = pipeline.epoch()
+        for i, (real, _labels) in enumerate(it):
+            if i >= N_STEPS:
+                break
+            state, m = step(state, real)
+            # d/g losses are replicated scalars: readable on every process.
+            losses.append({"d_loss": float(np.asarray(m["d_loss"])),
+                           "g_loss": float(np.asarray(m["g_loss"]))})
     info = {
         "process_count": jax.process_count(),
         "process_index": jax.process_index(),
@@ -203,15 +265,18 @@ def main() -> int:
 
     # DP: batch sharded over all 8 devices.  TP: model axis 2, spanning
     # devices owned by BOTH processes — GSPMD's TP collectives cross the
-    # process boundary.
-    dp = phase("dp", {})
-    tp = phase("tp", {"MP_SMOKE_TP": "1"})
-    ok = dp["ok"] and tp["ok"]
+    # process boundary.  FSDP: ZeRO param/moment shards over data=8, per-use
+    # all-gathers and grad reduce-scatters crossing processes.  PP: GPipe
+    # stages laid out so every ppermute hop crosses the process boundary
+    # (VERDICT r4 #7 — these two had only single-process parity evidence).
+    phases = {name: phase(name, {"MP_SMOKE_MODE": name})
+              for name in ("dp", "tp", "fsdp", "pp")}
+    ok = all(p["ok"] for p in phases.values())
     out = {
         "what": "real 2-process jax.distributed smoke: localhost coordinator, "
-                "2 procs x 4 CPU devices, DP and DPxTP train steps, loss "
-                "parity vs single-process 8-device runs",
-        "dp": dp, "tp": tp, "tol": args.tol,
+                "2 procs x 4 CPU devices, DP / DPxTP / FSDP / cross-process-"
+                "PP train steps, loss parity vs single-process 8-device runs",
+        **phases, "tol": args.tol,
         "wall_s": round(time.time() - t0, 1),
         "ok": ok,
     }
@@ -219,8 +284,9 @@ def main() -> int:
         json.dump(out, f, indent=2)
     print(json.dumps({
         "ok": ok,
-        "dp_max_rel_err": max((p["rel_err"] for p in dp["parity"]), default=None),
-        "tp_max_rel_err": max((p["rel_err"] for p in tp["parity"]), default=None),
+        **{f"{name}_max_rel_err": max((p["rel_err"] for p in ph["parity"]),
+                                      default=None)
+           for name, ph in phases.items()},
     }))
     return 0 if ok else 1
 
