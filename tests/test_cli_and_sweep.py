@@ -74,8 +74,11 @@ def test_sweep_runner(dev_env):
 
     rng = np.random.default_rng(0)
     space = sample_search_space(rng)
-    assert set(space) == {"gen_lr", "disc_lr", "embed_dim", "num_heads", "batch_size"}
-    assert 1e-6 <= space["gen_lr"] <= 1e-4
+    assert set(space) == {"gen_lr", "disc_lr", "embed_dim", "num_heads",
+                          "batch_size", "loss", "diversity_weight"}
+    # lr range stretched to cover the measured weak-D TTUR winner (g 2e-4)
+    assert 1e-5 <= space["gen_lr"] <= 3e-4
+    assert space["loss"] in ("bce", "wgan-gp")
 
     base = C.replace(
         C.smoke_config("v2"),
@@ -105,6 +108,37 @@ def test_sweep_runner(dev_env):
     with pytest.raises(ValueError, match="trial_offset"):
         run_sweep(num_trials=2, trial_offset=2, trial_stride=2, base_cfg=base,
                   run_base=str(dev_env / "sweeps"))
+
+
+def test_finish_sweep_excludes_collapsed(tmp_path):
+    """The ranking can never select a collapsed trial over a viable one
+    (VERDICT r4 weak #2: the round-4 sweep ranked a d_acc-0.99 collapse
+    first on proxy-FID), and an all-collapsed sweep is flagged as such."""
+    from vitgan_tpu.hpo.sweep import _finish_sweep
+
+    results = [
+        {"trial": 0, "params": {"gen_lr": 1e-4}, "fid": 1.0, "collapsed": True},
+        {"trial": 1, "params": {"gen_lr": 2e-4}, "fid": 5.0, "collapsed": False},
+        {"trial": 2, "params": {"gen_lr": 3e-4}, "fid": 7.0, "collapsed": False},
+    ]
+    best = _finish_sweep(results, str(tmp_path))
+    assert best["trial"] == 1  # lowest fid AMONG non-collapsed, not overall
+    assert best["excluded_collapsed_trials"] == 1
+    assert best["all_trials_collapsed"] is False
+    # best_config.json carries the same verdict fields
+    persisted = json.load(open(str(tmp_path / "best_config.json")))
+    assert persisted["trial"] == 1 and not persisted["all_trials_collapsed"]
+
+    only_collapsed = [
+        {"trial": 0, "params": {}, "fid": 1.0, "collapsed": True},
+        {"trial": 1, "params": {}, "fid": 2.0, "collapsed": True},
+    ]
+    best2 = _finish_sweep(only_collapsed, str(tmp_path))
+    assert best2["all_trials_collapsed"] is True and best2["trial"] == 0
+
+    # legacy records without the collapsed key keep ranking (treated viable)
+    legacy = [{"trial": 3, "params": {}, "fid": 4.0}]
+    assert _finish_sweep(legacy, str(tmp_path))["trial"] == 3
 
 
 @pytest.mark.slow

@@ -31,28 +31,51 @@ from vitgan_tpu.utils import preemption
 
 
 def sample_search_space(rng: np.random.Generator) -> Dict[str, Any]:
+    """Reference space (ref:src/v2/training.py:277-283) extended with the
+    knobs the round-4 probe matrix measured as decisive (VERDICT r4 #3):
+
+    - ``loss``: every probed BCE recipe collapsed (RECIPES_r04.json); only
+      WGAN-GP held equilibrium — searching the reference's BCE-only space
+      re-finds collapse by construction.
+    - lr upper bound stretched 1e-4 -> 3e-4: the measured winner (weak-D
+      TTUR, g 2e-4 / d 1e-4) sits ABOVE the reference's lr ceiling, so the
+      old space could not even express it.
+    - ``diversity_weight``: the 0.5 arm scored recall 0.206 vs 0.1's baseline.
+    """
     return {
-        "gen_lr": float(10 ** rng.uniform(-6, -4)),
-        "disc_lr": float(10 ** rng.uniform(-6, -4)),
+        "gen_lr": float(10 ** rng.uniform(-5, np.log10(3e-4))),
+        "disc_lr": float(10 ** rng.uniform(-5, np.log10(3e-4))),
         "embed_dim": int(rng.choice([128, 256, 512])),
         "num_heads": int(rng.choice([4, 8])),
         "batch_size": int(rng.choice([128, 256])),
+        "loss": str(rng.choice(["bce", "wgan-gp"])),
+        "diversity_weight": float(rng.choice([0.1, 0.5])),
     }
 
 
 def _trial_config(base, trial: Dict[str, Any]):
     from vitgan_tpu import config as C
 
-    return C.replace(
-        base,
-        **{
-            "v2.embed_dim": trial["embed_dim"],
-            "v2.num_heads": trial["num_heads"],
-            "v2.batch_size": trial["batch_size"],
-            "v2.gen_optim.learning_rate": trial["gen_lr"],
-            "v2.disc_optim.learning_rate": trial["disc_lr"],
-        },
-    )
+    over = {
+        "v2.embed_dim": trial["embed_dim"],
+        "v2.num_heads": trial["num_heads"],
+        "v2.batch_size": trial["batch_size"],
+        "v2.gen_optim.learning_rate": trial["gen_lr"],
+        "v2.disc_optim.learning_rate": trial["disc_lr"],
+    }
+    if "loss" in trial:
+        # Trials drawn from the extended space also train with the
+        # GAN-standard optimizer the round-4 matrix established (Adam(0,
+        # 0.99), no weight decay) — AdamW(0.9, wd) is a classifier recipe
+        # and D momentum a known destabilizer.
+        over["v2.loss"] = trial["loss"]
+        for net in ("gen_optim", "disc_optim"):
+            over.update({f"v2.{net}.name": "adam", f"v2.{net}.beta1": 0.0,
+                         f"v2.{net}.beta2": 0.99,
+                         f"v2.{net}.weight_decay": 0.0})
+    if "diversity_weight" in trial:
+        over["v2.diversity_weight"] = trial["diversity_weight"]
+    return C.replace(base, **over)
 
 
 
@@ -65,7 +88,11 @@ def _sweep_base(base_cfg, epochs_per_trial: int, dataset: str):
     return base_cfg or C.replace(
         C.ExperimentConfig(family="v2", data=C.DataConfig(dataset=dataset)),
         **{"run.epochs": epochs_per_trial, "run.checkpoint_every_epochs": 0,
-           "run.sample_grid_every_epochs": 0},
+           "run.sample_grid_every_epochs": 0,
+           # Collapsed trials are excluded from the ranking anyway
+           # (_finish_sweep); aborting them the moment the detector trips
+           # returns their remaining budget to the sweep.
+           "run.collapse_abort": True},
     )
 
 
@@ -92,7 +119,17 @@ def _finish_sweep(results, out_dir, log_path: Optional[str] = None) -> Dict[str,
         results = list(merged.values())
     if not results:
         return dict(_EMPTY_BEST)
-    best = min(results, key=lambda r: r["fid"] if math.isfinite(r["fid"]) else 1e18)
+    # Collapse-aware ranking (VERDICT r4 weak #2): proxy-FID alone is blind
+    # to mode collapse — the round-4 sweep ranked a d_acc-0.99 run first on
+    # FID 2.54 while the framework's own detector called it terminal.  A
+    # trial whose collapse verdict tripped can NEVER outrank a non-collapsed
+    # one; if every trial collapsed, the best is returned flagged so a
+    # caller cannot mistake it for a working recipe.
+    viable = [r for r in results if not r.get("collapsed")]
+    pool = viable or results
+    best = dict(min(pool, key=lambda r: r["fid"] if math.isfinite(r["fid"]) else 1e18))
+    best["all_trials_collapsed"] = not viable
+    best["excluded_collapsed_trials"] = len(results) - len(viable)
     with open(os.path.join(out_dir, "best_config.json"), "w") as f:
         json.dump(best, f, indent=2)
     return best
@@ -169,6 +206,7 @@ def run_sweep(num_trials: int = 10, epochs_per_trial: int = 1, seed: int = 0,
             break
         fid = metrics.get("fid", float("inf"))
         rec = {"trial": i, "params": trial, "fid": fid,
+               "collapsed": bool(getattr(trainer, "collapsed", False)),
                "metrics": {k: v for k, v in metrics.items() if isinstance(v, float)}}
         results.append(rec)
         with open(log_path, "a") as f:
@@ -182,7 +220,11 @@ def run_sweep(num_trials: int = 10, epochs_per_trial: int = 1, seed: int = 0,
 
 
 def _shape_key(trial: Dict[str, Any]):
-    return (trial["embed_dim"], trial["num_heads"], trial["batch_size"])
+    """Everything BAKED into the compiled step — only the injected lrs may
+    differ inside a vmapped group (loss/diversity change the loss graph,
+    embed/heads/batch the shapes)."""
+    return (trial["embed_dim"], trial["num_heads"], trial["batch_size"],
+            trial.get("loss", "bce"), trial.get("diversity_weight"))
 
 
 def _set_lr(opt_state, lrs):
@@ -278,16 +320,32 @@ def run_sweep_vectorized(num_trials: int = 10, epochs_per_trial: int = 1,
                                  synthetic_samples=cfg.data.synthetic_samples)
         steps_cap = base.run.steps_per_epoch
         preempted = False
+        # Per-trial collapse verdict, same rule as the trainer's detector
+        # (train/trainer.py): epoch-mean D accuracy >= collapse_acc for
+        # collapse_window consecutive epochs.  Tracked on host from the
+        # vmapped metrics (one K-vector readback per epoch, not per step).
+        c_window = base.run.collapse_window
+        c_acc = base.run.collapse_acc
+        consec = np.zeros(k, np.int64)
+        tripped = np.zeros(k, bool)
         for _epoch in range(epochs_per_trial):
+            acc_sum, n_steps = None, 0
             for s_i, (real, _) in enumerate(pipeline.epoch()):
                 if real.shape[0] != m.batch_size:
                     continue  # fixed-shape vmapped step: skip partial batches
                 states, metrics = vstep(states, jnp.asarray(real))
+                a = 0.5 * (metrics["d_real_acc"] + metrics["d_fake_acc"])
+                acc_sum = a if acc_sum is None else acc_sum + a
+                n_steps += 1
                 if preemption.requested():
                     preempted = True
                     break
                 if steps_cap and s_i + 1 >= steps_cap:
                     break
+            if c_window > 0 and n_steps:
+                epoch_acc = np.asarray(acc_sum, np.float32) / n_steps
+                consec = np.where(epoch_acc >= c_acc, consec + 1, 0)
+                tripped |= consec >= c_window
             if preempted:
                 break
         if preempted:
@@ -330,6 +388,7 @@ def run_sweep_vectorized(num_trials: int = 10, epochs_per_trial: int = 1,
             mu_f, cov_f = fake_stats.moments()
             fid = FID.frechet_distance(mu_r, cov_r, mu_f, cov_f)
             rec = {"trial": i, "params": t, "fid": float(fid),
+                   "collapsed": bool(tripped[slot]),
                    "vectorized_group": list(key), "group_size": k}
             results.append(rec)
             with open(log_path, "a") as f:
