@@ -56,7 +56,8 @@ def _build_cfg(args) -> "ExperimentConfig":
     if preset:  # explicit preset wins over DEV shrinking; --set still applies
         cfg = {"deit64": C.deit64_config,
                "highres128": lambda: C.highres_config(128),
-               "highres256": lambda: C.highres_config(256)}[preset]()
+               "highres256": lambda: C.highres_config(256),
+               "highres256p4": C.highres256p4_config}[preset]()
     elif C.dev_mode():
         cfg = C.smoke_config(args.family)
     else:
@@ -622,9 +623,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--seed", type=int, default=None)
         sp.add_argument("--loss", choices=["bce", "mse", "wgan-gp"], default=None)
         sp.add_argument("--run-name", default=None)
-        sp.add_argument("--preset", choices=["deit64", "highres128", "highres256"],
+        sp.add_argument("--preset",
+                        choices=["deit64", "highres128", "highres256",
+                                 "highres256p4"],
                         default=None,
-                        help="BASELINE configs #4/#5 (64px DeiT-D, 128/256px deep G)")
+                        help="BASELINE configs #4/#5 (64px DeiT-D, 128/256px "
+                             "deep G; 256p4 = 4096-token patch-4 stress)")
         sp.add_argument("--set", action="append", metavar="dotted.key=value",
                         help="raw config override, e.g. --set v2.depth=8")
 

@@ -28,12 +28,14 @@ def build_preset_cfg(name: str):
         name = "hires" + name[len("highres"):]
     if name == "deit64":
         return C.replace(C.deit64_config(), data=syn)
+    if name == "hires256p4":
+        return C.replace(C.highres256p4_config(), data=syn)
     if name in ("hires128", "hires256"):
         return C.replace(C.highres_config(int(name[5:])), data=syn)
     if name not in _FAMILIES:
         raise KeyError(f"unknown bench preset {name!r}: "
                        f"{sorted(_FAMILIES)} + ['deit64', 'hires128'/'highres128', "
-                       f"'hires256'/'highres256']")
+                       f"'hires256'/'highres256', 'hires256p4'/'highres256p4']")
     return C.ExperimentConfig(family=name, data=syn)
 
 
