@@ -1,0 +1,49 @@
+"""Pick the graduation winner from a recipe-probe artifact.
+
+Selection rule (the collapse-aware ranking the round-4 verdict demanded of
+the sweep, applied to probe matrices): collapsed or failed arms are
+ineligible; among the rest, maximize recall (manifold coverage — the round-3/4
+finding is that proxy-FID alone is blind to collapse), tie-break on lower FID.
+
+Usage: python scripts/pick_winner.py RECIPES_V1_r05.json [--require substr]
+Prints the winning recipe name on stdout (exit 1 if no eligible arm).
+"""
+
+import argparse
+import json
+import sys
+
+
+def pick(results, require=None):
+    eligible = [
+        r for r in results
+        if r.get("rc") == 0 and not r.get("collapsed")
+        and not r.get("skipped") and r.get("eval")
+        and r["eval"].get("recall") is not None
+        and (require is None or require in r["recipe"])
+    ]
+    if not eligible:
+        return None
+    return max(eligible, key=lambda r: (r["eval"]["recall"],
+                                        -r["eval"]["fid"]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("artifact")
+    ap.add_argument("--require", default=None,
+                    help="only consider recipes whose name contains this")
+    args = ap.parse_args()
+    with open(args.artifact) as f:
+        results = json.load(f)["results"]
+    win = pick(results, args.require)
+    if win is None:
+        print("no eligible (non-collapsed, evaluated) arm", file=sys.stderr)
+        return 1
+    print(win["recipe"])
+    print(json.dumps(win["eval"]), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
