@@ -3,7 +3,10 @@
 Selection rule (the collapse-aware ranking the round-4 verdict demanded of
 the sweep, applied to probe matrices): collapsed or failed arms are
 ineligible; among the rest, maximize recall (manifold coverage — the round-3/4
-finding is that proxy-FID alone is blind to collapse), tie-break on lower FID.
+finding is that proxy-FID alone is blind to collapse), tie-break on higher
+precision (the trustworthy fidelity leg of the eval triple; the v1 round-5
+matrix tied every arm at recall 0, where proxy-FID alone would have picked
+the arm whose precision had already fallen to 0.55), then on lower FID.
 
 Usage: python scripts/pick_winner.py RECIPES_V1_r05.json [--require substr]
 Prints the winning recipe name on stdout (exit 1 if no eligible arm).
@@ -25,6 +28,7 @@ def pick(results, require=None):
     if not eligible:
         return None
     return max(eligible, key=lambda r: (r["eval"]["recall"],
+                                        r["eval"].get("precision") or 0.0,
                                         -r["eval"]["fid"]))
 
 

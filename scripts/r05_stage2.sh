@@ -5,12 +5,37 @@
 set -x
 cd /root/repo
 
-# 1. Graduate the v1 probe winner to a 200-epoch converged run (VERDICT #1).
-V1_WIN=$(python scripts/pick_winner.py RECIPES_V1_r05.json)
-if [ -n "$V1_WIN" ]; then
-  python scripts/recipe_probe.py --family v1 --epochs 200 \
-    --only "$V1_WIN" --prefix converged_v1_r05 --out CONVERGED_V1_r05.json
-fi
+# 0. Patch up the v1 wgan_weakD_div5 eval (the in-batch eval wedged on a
+# tunnel hiccup and was killed; the trained run dir is intact).
+python - <<'EOF'
+import json, os, subprocess, sys
+sys.path.insert(0, ".")
+from vitgan_tpu.config import scratch_root
+rd = os.path.join(scratch_root(), "output", "probe_r05_v1_wgan_weakD_div5")
+rc = subprocess.run([sys.executable, "-m", "vitgan_tpu.cli", "eval",
+                     "--run-dir", rd, "--num-samples", "2048"]).returncode
+if rc == 0:
+    with open(os.path.join(rd, "metrics.json")) as f:
+        m = json.load(f)
+    with open("RECIPES_V1_r05.json") as f:
+        d = json.load(f)
+    for r in d["results"]:
+        if r["recipe"] == "wgan_weakD_div5":
+            r["eval"] = {k: m.get(k) for k in ("fid", "kid_mean", "precision", "recall")}
+            r.pop("eval_rc", None)
+    with open("RECIPES_V1_r05.json", "w") as f:
+        json.dump(d, f, indent=2)
+EOF
+
+# 1. Graduate a v1 arm to a 200-epoch converged run (VERDICT #1).  The 40-epoch
+# matrix tied every non-diverged arm at recall 0 (gp/weakD at precision 1.0,
+# weakD2 at 0.55); weak-D TTUR is graduated because it is the one recipe with
+# MEASURED long-horizon recall growth on this data (v2: 0.27@40ep -> 0.41@200ep,
+# CONVERGED2_r04.json) while plain wgan_gp saturated (LONG400_r04.json) — the
+# 200-epoch run tests whether the v1 composition (ISR/L2/SLN/SIREN) shares
+# that dynamic or differs (the analysis the verdict asks for either way).
+python scripts/recipe_probe.py --family v1 --epochs 200 \
+  --only wgan_weakD --prefix converged_v1_r05 --out CONVERGED_V1_r05.json
 
 # 2a. Graduate the composed-v2 winner to 200 epochs (VERDICT #2a).
 V2_WIN=$(python scripts/pick_winner.py RECIPES_r05.json --require composed)
