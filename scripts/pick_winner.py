@@ -27,8 +27,13 @@ def pick(results, require=None):
     ]
     if not eligible:
         return None
-    return max(eligible, key=lambda r: (r["eval"]["recall"],
-                                        r["eval"].get("precision") or 0.0,
+    # Recall/precision are compared at 2dp: run-to-run training variance on
+    # the 2048-sample protocol is ~0.02-0.05 (round-4 repeat spread), so a
+    # third-decimal edge is noise and must not override the next criterion
+    # (the round-5 composed arms tied 0.240 vs 0.242 with a 0.92-vs-0.90
+    # precision and 0.39-vs-0.45 FID gap underneath).
+    return max(eligible, key=lambda r: (round(r["eval"]["recall"], 2),
+                                        round(r["eval"].get("precision") or 0.0, 2),
                                         -r["eval"]["fid"]))
 
 
