@@ -85,7 +85,10 @@ def test_vectorized_sweep_end_to_end(tmp_path, monkeypatch):
              open(os.path.join(tmp_path, "sweep_results.jsonl"))]
     assert len(lines) == 2
     assert {l["trial"] for l in lines} == {0, 1}
-    assert all(l["vectorized_group"] == [32, 2, 8] for l in lines)
+    # Group identity = everything baked into the compiled step: shapes PLUS
+    # the loss-graph knobs the round-5 space added (loss, diversity_weight;
+    # absent from this patched sampler -> the bce/None defaults).
+    assert all(l["vectorized_group"] == [32, 2, 8, "bce", None] for l in lines)
     # different lrs -> the two trials diverged (distinct FIDs almost surely,
     # but assert on params-driven metric difference robustly via fid keys)
     assert lines[0]["params"]["gen_lr"] != lines[1]["params"]["gen_lr"]
