@@ -316,3 +316,19 @@ def test_saved_group_vmem_clamp():
     # and the hires saved pair needs ~94 MB at group 1); must stay well under
     # the 128 MB physical VMEM to leave I/O-tile room.
     assert _VMEM_BUDGET <= 96 * 2**20
+
+
+def test_megablock_refuses_4k_tokens():
+    """hires256p4 routing decision (HIRES256P4_r05.json): at 4096(+CLS)
+    tokens x embed 384 x hidden 1536, the saved-residual backward cannot fit
+    scoped VMEM even at group 1 under the calibrated 96 MB budget, so
+    megablock routing (auto AND forced 'on') must refuse and leave the flash
+    DMA-streaming attention path in charge.  Shape-static: this pins the
+    refusal without chip time."""
+    from vitgan_tpu.ops.fused_block import _ceil_to, saved_bwd_group
+
+    n = _ceil_to(4097, 8)
+    assert saved_bwd_group(1, n, _ceil_to(384, 128), _ceil_to(1536, 128),
+                           _ceil_to(3 * 6 * 64, 128), dropout=True) == 0
+    assert saved_bwd_group(1, n, _ceil_to(384, 128), _ceil_to(1536, 128),
+                           _ceil_to(3 * 6 * 64, 128), dropout=False) == 0
