@@ -1,0 +1,37 @@
+#!/bin/bash
+# Round-5 stage 5: the remaining queue under the wedge guard (4 tunnel
+# wedges so far tonight; scripts/wedge_guard.py kills a client whose
+# process tree stops burning CPU and retries after a settle delay).
+set -x
+cd /root/repo
+G="python scripts/wedge_guard.py --"
+
+# 1. Probe-protocol eval of the 400-epoch soak run (retry after wedge).
+$G python -m vitgan_tpu.cli eval \
+  --run-dir /root/.vitgan_tpu/output/soak_weakd400_r05 --num-samples 2048
+sleep 30
+
+# 2. VERDICT #6: baseline-family convergence snapshots.
+$G python scripts/families_probe.py --out FAMILIES_r05.json
+sleep 30
+
+# 3. VERDICT #2a: composed-v2 200-epoch graduation (retry).
+$G python scripts/recipe_probe.py --family v2 --epochs 200 \
+  --only wgan_composed --prefix converged_v2_r05 --out CONVERGED_V2_r05.json
+sleep 30
+
+# 4. VERDICT #3: collapse-aware 2-worker production sweep.
+$G python scripts/sweep_2workers.py --out SWEEP_r05.json
+sleep 30
+
+# 5. VERDICT #4: hires256p4 4k-token production step + routing A/B.
+$G python scripts/bench_hires256p4.py
+sleep 30
+
+# 6. round-5b: v1 n_critic probe (disc_steps=5).
+$G python scripts/recipe_probe.py --family v1 --epochs 40 \
+  --only wgan_ncritic --out RECIPES_V1_r05.json
+sleep 30
+
+# 7. VERDICT #5: hires op-table (flat single-step profile of hires128).
+$G python scripts/profile_step.py hires128 1 40 > HIRES_OPTABLE_r05.json

@@ -151,13 +151,23 @@ def analyze(recs, boundaries, loss_band):
 
     joins = []
     for i in boundaries:
-        before = med([v for _, v in g[max(0, i - 5):i]])
+        pre = [v for _, v in g[max(0, i - 10):i]]
+        before = med(pre[-5:])
         after = med([v for _, v in g[i:i + 5]])
+        # Tolerance: the relative band OR the pre-kill window's own
+        # epoch-to-epoch spread, whichever is larger.  A purely relative
+        # band is meaningless when the loss crosses zero (the round-5
+        # 400-epoch WGAN soak's second join moved |0.03| on a g_loss of
+        # -0.06 in a trajectory wandering +/-0.5 and was flagged); a true
+        # re-init spike jumps by the init-loss scale, far beyond local
+        # spread (pinned by test_reinit_spike_flagged).
+        spread = (max(pre) - min(pre)) if pre else 0.0
+        tol = max(loss_band * max(abs(before), 1e-3), spread)
         joins.append({"step_before": steps[i - 1], "step_after": steps[i],
                       "g_loss_before": round(before, 4),
                       "g_loss_after": round(after, 4),
-                      "continuous": bool(abs(after - before)
-                                          <= loss_band * max(abs(before), 1e-3))})
+                      "join_tolerance": round(tol, 4),
+                      "continuous": bool(abs(after - before) <= tol)})
     # Dynamics verdict (VERDICT r3: the round-3 soak called a collapsed run
     # ok because it only measured resume continuity).  Same criterion as the
     # trainer's collapse detector: mean D accuracy sustained >= 0.98 over the
