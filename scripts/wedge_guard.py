@@ -78,9 +78,9 @@ def kill_tree(root_pid: int, sig: int) -> None:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--attempts", type=int, default=3)
-    ap.add_argument("--stall-s", type=float, default=300.0,
+    ap.add_argument("--stall-s", type=float, default=180.0,
                     help="kill if tree CPU advances < --min-cpu-s over this window")
-    ap.add_argument("--min-cpu-s", type=float, default=5.0)
+    ap.add_argument("--min-cpu-s", type=float, default=3.0)
     ap.add_argument("--settle-s", type=float, default=60.0,
                     help="delay before a retry (lets the tunnel settle)")
     ap.add_argument("--poll-s", type=float, default=20.0)
