@@ -81,9 +81,14 @@ def main():
     sys.path.insert(0, REPO)
     from vitgan_tpu.config import scratch_root
 
+    todo = [f for f in FAMILIES if not args.only or f in args.only]
     results = []
+    if os.path.exists(args.out):  # resume: keep families recorded earlier
+        with open(args.out) as f:
+            results = [r for r in json.load(f).get("results", [])
+                       if r["family"] not in todo]
     for fam, spec in FAMILIES.items():
-        if args.only and fam not in args.only:
+        if fam not in todo:
             continue
         run_name = f"{args.prefix}_{fam}"
         run_dir = os.path.join(scratch_root(), "output", run_name)

@@ -105,7 +105,15 @@ def main():
             now = time.time()
             if now - window_start >= args.stall_s:
                 cpu = tree_cpu_seconds(proc.pid)
-                if cpu - cpu_at_window < args.min_cpu_s:
+                delta = cpu - cpu_at_window
+                if delta < 0:
+                    # A child exited and took its accumulated CPU out of the
+                    # tree sum — that is activity, not a wedge (the negative
+                    # delta false-killed the round-5 families harness right
+                    # as it moved from one family to the next).
+                    window_start, cpu_at_window = now, cpu
+                    continue
+                if delta < args.min_cpu_s:
                     print(f"wedge_guard: tree CPU advanced "
                           f"{cpu - cpu_at_window:.1f}s in {args.stall_s:.0f}s "
                           f"— wedged; killing (attempt {attempt + 1}/"
